@@ -1,0 +1,48 @@
+"""tf2_gnn_tpu — a TPU-native GNN message-passing framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+microsoft/tf2-gnn: the relational message-passing model family (GGNN, RGCN,
+RGAT, RGIN, GNN-Edge-MLP, GNN-FiLM), statically-padded node-budget graph
+batching, weighted-sum readouts and global exchange, task heads, and a
+train/test harness — plus pjit/shard_map scale-out the reference never had.
+"""
+
+__version__ = "0.1.0"
+
+from .data import DataFold, GraphBatch, GraphDataset, GraphSample, PaddingConfig
+from .layers import (
+    GNN,
+    GGNN,
+    GNN_Edge_MLP,
+    GNN_FiLM,
+    MessagePassing,
+    RGAT,
+    RGCN,
+    RGIN,
+    WASGraphRepresentation,
+    WeightedSumGraphRepresentation,
+    get_known_message_passing_classes,
+    get_message_passing_class,
+    register_message_passing_implementation,
+)
+
+__all__ = [
+    "DataFold",
+    "GraphBatch",
+    "GraphDataset",
+    "GraphSample",
+    "PaddingConfig",
+    "GNN",
+    "GGNN",
+    "GNN_Edge_MLP",
+    "GNN_FiLM",
+    "MessagePassing",
+    "RGAT",
+    "RGCN",
+    "RGIN",
+    "WASGraphRepresentation",
+    "WeightedSumGraphRepresentation",
+    "get_known_message_passing_classes",
+    "get_message_passing_class",
+    "register_message_passing_implementation",
+]

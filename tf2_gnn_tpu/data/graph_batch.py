@@ -1,0 +1,173 @@
+"""Statically-shaped padded graph batches — the framework-wide data contract.
+
+The reference batches graphs ragged (every step has a different V/E —
+tf2_gnn/data/graph_dataset.py:161-246 — tolerated via relaxed tf.function
+signatures). XLA compiles one program per shape, so the TPU-native contract is
+instead a *padded* batch with fixed budgets:
+
+* nodes padded to ``num_nodes_padded`` rows (zeros),
+* each edge type padded to its ``edge_budgets[l]`` with edges pointing
+  pad-node -> pad-node, so padded messages gather zeros-ish garbage and
+  scatter ONLY into pad rows (real nodes never observe padding),
+* graphs padded to ``num_graphs_padded`` segments; pad nodes map to the last
+  graph slot, which is always a pad slot (the batcher packs at most
+  ``num_graphs_padded - 1`` real graphs).
+
+Segment ops therefore need no masks in the hot loop; only losses/metrics mask
+by validity, via the ``node_mask``/``graph_mask``/``edge_mask`` helpers.
+"""
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class PaddingConfig:
+    """Static shape budgets for one batch stream (fixed per dataset+fold)."""
+
+    num_nodes: int = struct.field(pytree_node=False)
+    num_graphs: int = struct.field(pytree_node=False)
+    edge_budgets: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @property
+    def num_edge_types(self) -> int:
+        return len(self.edge_budgets)
+
+
+@struct.dataclass
+class GraphBatch:
+    """One padded mega-graph (a batch of disconnected graphs).
+
+    Shapes (V = padded node count, L = edge types, E_l = per-type edge budget,
+    G = padded graph count, D = node feature dim):
+
+    * ``node_features``: f32 [V, D]
+    * ``edge_sources`` / ``edge_targets``: tuple of L int32 [E_l]
+    * ``node_to_graph``: int32 [V] (pad nodes -> G - 1)
+    * ``num_nodes`` / ``num_graphs``: int32 scalars (real counts)
+    * ``num_edges``: int32 [L] (real counts per type)
+    """
+
+    node_features: jnp.ndarray
+    edge_sources: Tuple[jnp.ndarray, ...]
+    edge_targets: Tuple[jnp.ndarray, ...]
+    node_to_graph: jnp.ndarray
+    num_nodes: jnp.ndarray
+    num_edges: jnp.ndarray
+    num_graphs: jnp.ndarray
+    num_graphs_padded: int = struct.field(pytree_node=False)
+
+    # ---- static shape accessors -------------------------------------------------
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def num_edge_types(self) -> int:
+        return len(self.edge_sources)
+
+    @property
+    def pad_node_index(self) -> int:
+        return self.num_nodes_padded - 1
+
+    # ---- validity masks ----------------------------------------------------------
+    @property
+    def node_mask(self) -> jnp.ndarray:
+        """f32 [V]: 1.0 for real nodes, 0.0 for padding."""
+        return (jnp.arange(self.num_nodes_padded) < self.num_nodes).astype(jnp.float32)
+
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        """f32 [G]: 1.0 for real graphs, 0.0 for padding."""
+        return (jnp.arange(self.num_graphs_padded) < self.num_graphs).astype(jnp.float32)
+
+    def edge_mask(self, edge_type: int) -> jnp.ndarray:
+        """f32 [E_l]: 1.0 for real edges of the given type."""
+        budget = self.edge_sources[edge_type].shape[0]
+        return (jnp.arange(budget) < self.num_edges[edge_type]).astype(jnp.float32)
+
+
+def pad_batch_arrays(
+    node_features: np.ndarray,
+    adjacency_lists: Sequence[np.ndarray],
+    node_to_graph: np.ndarray,
+    num_graphs: int,
+    config: PaddingConfig,
+) -> GraphBatch:
+    """Pad ragged numpy batch arrays up to ``config``'s budgets.
+
+    The inputs follow the reference's batch contract (concatenated graphs,
+    [E,2] adjacency per type — data/graph_dataset.py:224-246); the output is a
+    static-shape ``GraphBatch``.
+    """
+    num_real_nodes = node_features.shape[0]
+    v_pad = config.num_nodes
+    if num_real_nodes > v_pad - 1:
+        raise ValueError(
+            f"Batch has {num_real_nodes} nodes but padded budget {v_pad} requires "
+            f"at most {v_pad - 1} (one pad node is reserved as scatter sink)."
+        )
+    if num_graphs > config.num_graphs - 1:
+        raise ValueError(
+            f"Batch has {num_graphs} graphs but padded budget {config.num_graphs} "
+            f"requires at most {config.num_graphs - 1}."
+        )
+    if len(adjacency_lists) != config.num_edge_types:
+        raise ValueError(
+            f"Batch has {len(adjacency_lists)} edge types, config expects "
+            f"{config.num_edge_types}."
+        )
+
+    feat = np.zeros((v_pad, node_features.shape[1]), dtype=np.float32)
+    feat[:num_real_nodes] = node_features
+
+    n2g = np.full((v_pad,), config.num_graphs - 1, dtype=np.int32)
+    n2g[:num_real_nodes] = node_to_graph
+
+    pad_node = v_pad - 1
+    sources: List[np.ndarray] = []
+    targets: List[np.ndarray] = []
+    real_edge_counts: List[int] = []
+    for edge_type, adj in enumerate(adjacency_lists):
+        budget = config.edge_budgets[edge_type]
+        count = adj.shape[0]
+        if count > budget:
+            raise ValueError(
+                f"Edge type {edge_type} has {count} edges, over budget {budget}."
+            )
+        src = np.full((budget,), pad_node, dtype=np.int32)
+        tgt = np.full((budget,), pad_node, dtype=np.int32)
+        if count:
+            src[:count] = adj[:, 0]
+            tgt[:count] = adj[:, 1]
+        sources.append(src)
+        targets.append(tgt)
+        real_edge_counts.append(count)
+
+    return GraphBatch(
+        node_features=feat,
+        edge_sources=tuple(sources),
+        edge_targets=tuple(targets),
+        node_to_graph=n2g,
+        num_nodes=np.int32(num_real_nodes),
+        num_edges=np.asarray(real_edge_counts, dtype=np.int32),
+        num_graphs=np.int32(num_graphs),
+        num_graphs_padded=config.num_graphs,
+    )
+
+
+def pad_node_label_array(values: np.ndarray, num_nodes_padded: int) -> np.ndarray:
+    """Zero-pad a per-node label array [V_real, ...] up to [V_pad, ...]."""
+    out = np.zeros((num_nodes_padded,) + values.shape[1:], dtype=values.dtype)
+    out[: values.shape[0]] = values
+    return out
+
+
+def pad_graph_label_array(values: np.ndarray, num_graphs_padded: int) -> np.ndarray:
+    """Zero-pad a per-graph label array [G_real, ...] up to [G_pad, ...]."""
+    values = np.asarray(values)
+    out = np.zeros((num_graphs_padded,) + values.shape[1:], dtype=values.dtype)
+    out[: values.shape[0]] = values
+    return out

@@ -1,0 +1,306 @@
+"""Abstract graph dataset: greedy node-budget packing + static padding.
+
+Replaces the reference's ragged batching engine
+(tf2_gnn/data/graph_dataset.py:124-311). The packing policy is the same greedy
+node-budget fill, with two TPU-specific additions:
+
+* hard per-type *edge* budgets and a *graph-count* budget are also enforced
+  while packing (a batch is emitted early rather than overflowing any static
+  shape),
+* finished batches are padded to a fold-independent ``PaddingConfig`` so the
+  whole run compiles exactly one XLA program per fold kind.
+
+Budgets are derived once from the loaded data: a deterministic simulation pass
+packs by node budget only, records per-type edge / graph-count maxima, then
+adds slack and rounds up (alignment 64) so that shuffled epochs stay within
+budget; the packer's enforcement makes any budget value *correct* regardless.
+"""
+import math
+from abc import ABC, abstractmethod
+from enum import Enum
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from .graph_batch import GraphBatch, PaddingConfig, pad_batch_arrays
+
+
+class DataFold(Enum):
+    TRAIN = 0
+    VALIDATION = 1
+    TEST = 2
+
+
+class GraphSample:
+    """A single graph: per-type [E,2] adjacency + [L,V] in-degrees + node features."""
+
+    def __init__(
+        self,
+        adjacency_lists: List[np.ndarray],
+        type_to_node_to_num_inedges: np.ndarray,
+        node_features: np.ndarray,
+    ):
+        self._adjacency_lists = adjacency_lists
+        self._type_to_node_to_num_inedges = type_to_node_to_num_inedges
+        self._node_features = np.asarray(node_features, dtype=np.float32)
+
+    @property
+    def adjacency_lists(self) -> List[np.ndarray]:
+        return self._adjacency_lists
+
+    @property
+    def type_to_node_to_num_inedges(self) -> np.ndarray:
+        return self._type_to_node_to_num_inedges
+
+    @property
+    def node_features(self) -> np.ndarray:
+        return self._node_features
+
+    @property
+    def num_nodes(self) -> int:
+        return self._node_features.shape[0]
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return int(math.ceil(max(value, 1) / multiple) * multiple)
+
+
+class GraphDataset(ABC):
+    """Turns per-graph samples into statically-shaped padded minibatches."""
+
+    @classmethod
+    def get_default_hyperparameters(cls) -> Dict[str, Any]:
+        return {
+            "max_nodes_per_batch": 10000,
+            # Slack multiplier applied to observed per-batch edge/graph maxima
+            # when deriving static budgets (shuffling changes batch mix).
+            "padding_slack": 1.25,
+            # Alignment for padded edge budgets (TPU lane-friendly).
+            "padding_alignment": 64,
+        }
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        metadata: Optional[Dict[str, Any]] = None,
+        use_worker_threads: bool = False,
+    ):
+        self._params = dict(params)
+        self._params.setdefault("padding_slack", 1.25)
+        self._params.setdefault("padding_alignment", 64)
+        self._metadata = metadata if metadata is not None else {}
+        self._use_worker_threads = use_worker_threads
+        self._padding_config: Optional[PaddingConfig] = None
+
+    # ---- basic properties ---------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self.__class__.__name__
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        return self._params
+
+    @property
+    def metadata(self) -> Dict[str, Any]:
+        return self._metadata
+
+    @property
+    @abstractmethod
+    def num_edge_types(self) -> int:
+        ...
+
+    @property
+    @abstractmethod
+    def node_feature_shape(self) -> Tuple:
+        ...
+
+    @abstractmethod
+    def load_data(self, path, folds_to_load: Optional[Set[DataFold]] = None) -> None:
+        ...
+
+    def load_data_from_list(
+        self, datapoints: List[Dict[str, Any]], target_fold: DataFold = DataFold.TEST
+    ):
+        raise NotImplementedError()
+
+    @abstractmethod
+    def _graph_iterator(self, data_fold: DataFold) -> Iterator[GraphSample]:
+        """Iterate over samples in a fold; shuffles TRAIN on each call."""
+        ...
+
+    @abstractmethod
+    def _loaded_folds(self) -> Sequence[DataFold]:
+        """Folds currently loaded (used for budget derivation)."""
+        ...
+
+    def _graphs_in_fold(self, fold: DataFold) -> Sequence[GraphSample]:
+        """Deterministic view of a fold's samples for budget simulation."""
+        raise NotImplementedError()
+
+    # ---- packing core ---------------------------------------------------------
+    def _fits(
+        self,
+        counts: Dict[str, Any],
+        graph: GraphSample,
+        node_budget: int,
+        edge_budgets: Optional[Sequence[int]],
+        graph_budget: Optional[int],
+    ) -> bool:
+        if counts["nodes"] + graph.num_nodes > node_budget - 1:
+            return False
+        if graph_budget is not None and counts["graphs"] + 1 > graph_budget - 1:
+            return False
+        if edge_budgets is not None:
+            for edge_type, adj in enumerate(graph.adjacency_lists):
+                if counts["edges"][edge_type] + adj.shape[0] > edge_budgets[edge_type]:
+                    return False
+        return True
+
+    def _pack_graphs(
+        self,
+        graphs: Iterator[GraphSample],
+        node_budget: int,
+        edge_budgets: Optional[Sequence[int]] = None,
+        graph_budget: Optional[int] = None,
+    ) -> Iterator[List[GraphSample]]:
+        """Greedily pack graphs into batches under all provided budgets."""
+        batch: List[GraphSample] = []
+        counts = {"nodes": 0, "graphs": 0, "edges": [0] * self.num_edge_types}
+        for graph in graphs:
+            if graph.num_nodes > node_budget - 1:
+                raise ValueError(
+                    f"Graph with {graph.num_nodes} nodes exceeds node budget "
+                    f"{node_budget} (need <= {node_budget - 1}); raise "
+                    f"'max_nodes_per_batch'."
+                )
+            if batch and not self._fits(counts, graph, node_budget, edge_budgets, graph_budget):
+                yield batch
+                batch = []
+                counts = {"nodes": 0, "graphs": 0, "edges": [0] * self.num_edge_types}
+            batch.append(graph)
+            counts["nodes"] += graph.num_nodes
+            counts["graphs"] += 1
+            for edge_type, adj in enumerate(graph.adjacency_lists):
+                counts["edges"][edge_type] += adj.shape[0]
+        if batch:
+            yield batch
+
+    # ---- padding-config derivation ---------------------------------------------
+    @property
+    def padding_config(self) -> PaddingConfig:
+        if self._padding_config is None:
+            self._padding_config = self._derive_padding_config()
+        return self._padding_config
+
+    def set_padding_config(self, config: PaddingConfig) -> None:
+        """Pin an externally chosen config (e.g. restored from a checkpoint)."""
+        self._padding_config = config
+
+    def _derive_padding_config(self) -> PaddingConfig:
+        node_budget = int(self._params["max_nodes_per_batch"])
+        slack = float(self._params["padding_slack"])
+        align = int(self._params["padding_alignment"])
+
+        max_edges_per_batch = [0] * self.num_edge_types
+        max_edges_per_graph = [0] * self.num_edge_types
+        max_graphs_per_batch = 0
+
+        for fold in self._loaded_folds():
+            graphs = self._graphs_in_fold(fold)
+            for g in graphs:
+                for edge_type, adj in enumerate(g.adjacency_lists):
+                    max_edges_per_graph[edge_type] = max(
+                        max_edges_per_graph[edge_type], adj.shape[0]
+                    )
+            for batch in self._pack_graphs(iter(graphs), node_budget):
+                max_graphs_per_batch = max(max_graphs_per_batch, len(batch))
+                for edge_type in range(self.num_edge_types):
+                    total = sum(b.adjacency_lists[edge_type].shape[0] for b in batch)
+                    max_edges_per_batch[edge_type] = max(
+                        max_edges_per_batch[edge_type], total
+                    )
+
+        if max_graphs_per_batch == 0:
+            raise ValueError("Cannot derive padding config: no data loaded.")
+
+        edge_budgets = tuple(
+            _round_up(
+                max(int(max_edges_per_batch[t] * slack), max_edges_per_graph[t]), align
+            )
+            for t in range(self.num_edge_types)
+        )
+        graph_budget = int(max_graphs_per_batch * slack) + 2
+        return PaddingConfig(
+            num_nodes=node_budget,
+            num_graphs=graph_budget,
+            edge_budgets=edge_budgets,
+        )
+
+    # ---- batch assembly hooks (subclass extension points) ----------------------
+    def _batch_label_arrays(
+        self, batch_graphs: List[GraphSample], config: PaddingConfig
+    ) -> Dict[str, np.ndarray]:
+        """Subclasses return padded label arrays for one packed batch."""
+        return {}
+
+    def _finalise_batch(
+        self, batch_graphs: List[GraphSample], config: PaddingConfig
+    ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
+        node_features = np.concatenate([g.node_features for g in batch_graphs], axis=0)
+        node_to_graph = np.concatenate(
+            [
+                np.full((g.num_nodes,), i, dtype=np.int32)
+                for i, g in enumerate(batch_graphs)
+            ]
+        )
+        adjacency_lists: List[np.ndarray] = []
+        for edge_type in range(self.num_edge_types):
+            pieces = []
+            offset = 0
+            for g in batch_graphs:
+                adj = g.adjacency_lists[edge_type]
+                if adj.shape[0]:
+                    pieces.append(adj + offset)
+                offset += g.num_nodes
+            adjacency_lists.append(
+                np.concatenate(pieces, axis=0)
+                if pieces
+                else np.zeros((0, 2), dtype=np.int32)
+            )
+
+        graph_batch = pad_batch_arrays(
+            node_features=node_features,
+            adjacency_lists=adjacency_lists,
+            node_to_graph=node_to_graph,
+            num_graphs=len(batch_graphs),
+            config=config,
+        )
+        return graph_batch, self._batch_label_arrays(batch_graphs, config)
+
+    # ---- public iteration --------------------------------------------------------
+    def batch_iterator(
+        self, data_fold: DataFold
+    ) -> Iterator[Tuple[GraphBatch, Dict[str, np.ndarray]]]:
+        """Yield padded (GraphBatch, labels) pairs for one epoch of a fold."""
+        config = self.padding_config
+        node_budget = config.num_nodes
+        for batch_graphs in self._pack_graphs(
+            self._graph_iterator(data_fold),
+            node_budget,
+            edge_budgets=config.edge_budgets,
+            graph_budget=config.num_graphs,
+        ):
+            yield self._finalise_batch(batch_graphs, config)
+
+    def num_batches(self, data_fold: DataFold) -> int:
+        """Count batches in one epoch (packs without materialising batches)."""
+        return sum(
+            1
+            for _ in self._pack_graphs(
+                self._graph_iterator(data_fold),
+                self.padding_config.num_nodes,
+                edge_budgets=self.padding_config.edge_budgets,
+                graph_budget=self.padding_config.num_graphs,
+            )
+        )

@@ -1,0 +1,44 @@
+"""Per-edge-type linear maps with stacked weights.
+
+The reference keeps one Keras Dense layer per edge type and loops in Python
+(gnn_edge_mlp.py:74-80, rgat.py:74-87). On TPU we stack all types into a
+single ``[L, D, H]`` parameter so the node-space transform of *all* types is
+one batched MXU einsum.
+"""
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class TypedLinear(nn.Module):
+    """Stacked per-type linear map (no bias, glorot init — Keras Dense parity).
+
+    Call modes:
+    * ``__call__(x)`` with x [V, D] -> [L, V, out_size] (broadcast all types)
+    * ``__call__(x)`` with x [L, V, D] -> [L, V, out_size] (per-type batched)
+    * ``__call__(x, edge_type=l)`` with x [N, D] -> [N, out_size] (one type)
+    """
+
+    num_types: int
+    in_size: int
+    out_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, edge_type: Optional[int] = None) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(batch_axis=(0,)),
+            (self.num_types, self.in_size, self.out_size),
+        )
+        if edge_type is not None:
+            return jnp.dot(x, kernel[edge_type], preferred_element_type=jnp.float32)
+        if x.ndim == 2:
+            return jnp.einsum(
+                "vd,ldh->lvh", x, kernel, preferred_element_type=jnp.float32
+            )
+        if x.ndim == 3:
+            return jnp.einsum(
+                "lvd,ldh->lvh", x, kernel, preferred_element_type=jnp.float32
+            )
+        raise ValueError(f"TypedLinear expects rank-2 or rank-3 input, got {x.ndim}.")

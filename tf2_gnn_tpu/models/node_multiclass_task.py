@@ -1,0 +1,79 @@
+"""Per-node multiclass (multi-label) task — the PPI benchmark head.
+
+Reference: tf2_gnn/models/node_multiclass_task.py:10-72. A dense layer maps
+final node states to per-node logits; loss is sigmoid cross-entropy summed
+over labels and averaged per *real* node; the tracked metric is batch
+micro-F1, negated so that lower is better.
+"""
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graph_batch import GraphBatch
+from ..utils.constants import SMALL_NUMBER
+from .graph_task_model import GraphTaskModel
+
+
+def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """Micro-averaged F1 over real nodes (reference micro_f1,
+    node_multiclass_task.py:10-23, with padding masked out)."""
+    predicted = jnp.round(jax.nn.sigmoid(logits)) * mask[:, None]
+    labels = labels * mask[:, None]
+    true_pos = jnp.sum(predicted * labels)
+    false_pos = jnp.sum(predicted * (1.0 - labels) * mask[:, None])
+    false_neg = jnp.sum((1.0 - predicted) * labels)
+    precision = true_pos / jnp.maximum(true_pos + false_pos, SMALL_NUMBER)
+    recall = true_pos / jnp.maximum(true_pos + false_neg, SMALL_NUMBER)
+    return (2.0 * precision * recall) / jnp.maximum(precision + recall, SMALL_NUMBER)
+
+
+class NodeMulticlassTask(GraphTaskModel):
+    num_labels: int = 121
+
+    @classmethod
+    def get_default_hyperparameters(cls, mp_style: Optional[str] = None) -> Dict[str, Any]:
+        return super().get_default_hyperparameters(mp_style)
+
+    @classmethod
+    def _dataset_kwargs(cls, params: Dict[str, Any], dataset) -> Dict[str, Any]:
+        if dataset is None:
+            return {}
+        if not hasattr(dataset, "num_node_target_labels"):
+            raise ValueError(
+                f"Provided dataset of type {type(dataset)} does not provide "
+                "num_node_target_labels information."
+            )
+        return {"num_labels": dataset.num_node_target_labels}
+
+    def compute_task_output(self, batch: GraphBatch, node_representations, training: bool):
+        per_node_logits = nn.Dense(
+            self.num_labels,
+            use_bias=True,
+            kernel_init=nn.initializers.glorot_uniform(),
+            name="node_to_labels",
+        )(node_representations)
+        return (per_node_logits,)
+
+    @staticmethod
+    def compute_task_metrics(batch, task_output, labels):
+        (per_node_logits,) = task_output
+        node_labels = labels["node_labels"]
+        mask = batch.node_mask  # [V]
+
+        # Numerically-stable sigmoid BCE with logits, summed over label dims.
+        x, z = per_node_logits, node_labels
+        per_entry = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        per_node = jnp.sum(per_entry, axis=-1) * mask
+        loss = jnp.sum(per_node) / jnp.maximum(batch.num_nodes.astype(jnp.float32), 1.0)
+
+        f1 = masked_micro_f1(per_node_logits, node_labels, mask)
+        return {"loss": loss, "f1_score": f1, "num_graphs": batch.num_graphs}
+
+    @staticmethod
+    def compute_epoch_metrics(task_results: List[Dict[str, Any]]) -> Tuple[float, str]:
+        avg_f1 = float(np.average([float(r["f1_score"]) for r in task_results]))
+        return -avg_f1, f"Avg MicroF1: {avg_f1:.3f}"

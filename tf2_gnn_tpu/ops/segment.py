@@ -1,0 +1,143 @@
+"""Segment (scatter-reduce) primitives — the SpMM substrate of the framework.
+
+These are the TPU-native equivalents of the TF kernels the reference leans on:
+``tf.math.unsorted_segment_{sum,mean,max,sqrt_n}`` (reference call sites:
+tf2_gnn/layers/message_passing/message_passing.py:166-179) and dpu-utils'
+``unsorted_segment_softmax`` / ``unsorted_segment_log_softmax`` (used at
+tf2_gnn/layers/message_passing/rgat.py:147-151 and
+tf2_gnn/layers/nodes_to_graph_representation.py:180-185).
+
+All functions require a *static* ``num_segments`` — the framework's batching
+layer always pads node/graph counts to fixed budgets, so this is free.
+XLA lowers these to efficient scatter-adds; a fused Pallas path for the
+gather->transform->scatter hot loop lives in ``ops/spmm_pallas.py``.
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import SMALL_NUMBER
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Sum of ``data`` rows per segment. Empty segments yield 0."""
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(segment_ids: jnp.ndarray, num_segments: int,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """Number of entries per segment (in-degree when ids are edge targets)."""
+    return jax.ops.segment_sum(
+        jnp.ones(segment_ids.shape, dtype=dtype), segment_ids, num_segments=num_segments
+    )
+
+
+def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Mean per segment. Empty segments yield 0 (matching tf.unsorted_segment_mean)."""
+    totals = segment_sum(data, segment_ids, num_segments)
+    counts = segment_count(segment_ids, num_segments, dtype=totals.dtype)
+    counts = counts.reshape(counts.shape + (1,) * (totals.ndim - 1))
+    return totals / jnp.maximum(counts, 1.0)
+
+
+def segment_sqrt_n(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Sum per segment divided by sqrt(segment size) (tf.unsorted_segment_sqrt_n)."""
+    totals = segment_sum(data, segment_ids, num_segments)
+    counts = segment_count(segment_ids, num_segments, dtype=totals.dtype)
+    counts = counts.reshape(counts.shape + (1,) * (totals.ndim - 1))
+    return totals / jnp.sqrt(jnp.maximum(counts, 1.0))
+
+
+def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                empty_value: float = 0.0) -> jnp.ndarray:
+    """Max per segment.
+
+    tf.math.unsorted_segment_max fills empty segments with dtype.min; the
+    reference's models never consume empty-segment values for real nodes
+    (graphs there always have self-loops when max aggregation matters), but to
+    keep padded rows benign we replace empty-segment results with
+    ``empty_value`` (default 0).
+    """
+    maxes = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    counts = segment_count(segment_ids, num_segments)
+    counts = counts.reshape(counts.shape + (1,) * (maxes.ndim - 1))
+    return jnp.where(counts > 0, maxes, jnp.asarray(empty_value, dtype=maxes.dtype))
+
+
+def segment_logits_max(logits: jnp.ndarray, segment_ids: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """Per-segment max of logits, with empty segments pinned to 0 so that the
+    downstream ``logits - max[ids]`` never produces NaN for padded entries."""
+    maxes = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(maxes), maxes, 0.0)
+
+
+def segment_log_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Numerically-stable log-softmax within each segment.
+
+    Matches dpu-utils' ``unsorted_segment_log_softmax`` semantics: per-segment
+    max subtraction, exp, per-segment normalisation in log space.
+    ``logits`` may be [M] or [M, K] (softmax is per segment per trailing col).
+    """
+    maxes = segment_logits_max(logits, segment_ids, num_segments)
+    shifted = logits - maxes[segment_ids]
+    sum_exp = segment_sum(jnp.exp(shifted), segment_ids, num_segments)
+    log_norm = jnp.log(jnp.maximum(sum_exp, SMALL_NUMBER))
+    return shifted - log_norm[segment_ids]
+
+
+def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
+                    num_segments: int) -> jnp.ndarray:
+    """Numerically-stable softmax within each segment (dpu-utils
+    ``unsorted_segment_softmax`` semantics: exp(x - max) / (sum + eps))."""
+    maxes = segment_logits_max(logits, segment_ids, num_segments)
+    exp_shifted = jnp.exp(logits - maxes[segment_ids])
+    denom = segment_sum(exp_shifted, segment_ids, num_segments) + SMALL_NUMBER
+    return exp_shifted / denom[segment_ids]
+
+
+_AGGREGATORS = {
+    "sum": segment_sum,
+    "mean": segment_mean,
+    "max": segment_max,
+    "sqrt_n": segment_sqrt_n,
+}
+
+
+def get_aggregation_function(name: str):
+    """Name -> segment aggregation fn (reference: utils/param_helpers.py:7-18)."""
+    fn = _AGGREGATORS.get(name)
+    if fn is None:
+        raise ValueError(f"Unknown aggregation function: {name}")
+    return fn
+
+
+def get_known_aggregation_names():
+    return sorted(_AGGREGATORS.keys())
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows(params: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Row gather with a dense scatter-add gradient.
+
+    Functional analog of the reference's ``gather_dense_gradient``
+    (tf2_gnn/utils/gather_dense_gradient.py:10-14). Under JAX the gradient of
+    ``take`` is already a scatter-add, but routing through this op lets the
+    Pallas backend swap in a fused kernel for both directions.
+    """
+    return jnp.take(params, indices, axis=0)
+
+
+def _gather_rows_fwd(params, indices):
+    return jnp.take(params, indices, axis=0), (params.shape[0], indices)
+
+
+def _gather_rows_bwd(res, g):
+    num_rows, indices = res
+    return jax.ops.segment_sum(g, indices, num_segments=num_rows), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
