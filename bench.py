@@ -1,0 +1,145 @@
+"""Headline benchmark: RGCN training throughput on a PPI-shaped workload.
+
+Reference baseline (BASELINE.md): the tf2-gnn README quickstart trains RGCN on
+PPI (4 layers, hidden 320, sum aggregation, normalize-by-incoming, 8000-node
+batches) at 2.63 graphs/s (reference README.md:47, 2020-era unspecified
+hardware). This benchmark builds the same shape of workload synthetically
+(PPI: ~2400 nodes and ~34k forward edges per graph, untied backward edges,
+self loops, 121 node labels), runs the full jitted training step (forward +
+backward + Adam), and reports sustained edges/s per chip plus the graphs/s
+ratio vs the reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+"""
+import json
+import time
+
+import numpy as np
+
+# PPI-shaped workload constants.
+NODES_PER_GRAPH = 2400
+FWD_EDGES_PER_GRAPH = 34000
+GRAPHS_PER_BATCH = 3
+NUM_LABELS = 121
+FEATURE_DIM = 50
+NODE_BUDGET = 8000
+BASELINE_GRAPHS_PER_S = 2.63  # reference README.md:47
+
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def build_batch(seed: int):
+    from tf2_gnn_tpu.data.graph_batch import (
+        PaddingConfig,
+        pad_batch_arrays,
+        pad_node_label_array,
+    )
+
+    rng = np.random.RandomState(seed)
+    v = GRAPHS_PER_BATCH * NODES_PER_GRAPH
+    fwd_chunks, bkwd_chunks, loop_chunks = [], [], []
+    for g in range(GRAPHS_PER_BATCH):
+        base = g * NODES_PER_GRAPH
+        src = rng.randint(0, NODES_PER_GRAPH, FWD_EDGES_PER_GRAPH) + base
+        tgt = rng.randint(0, NODES_PER_GRAPH, FWD_EDGES_PER_GRAPH) + base
+        fwd_chunks.append(np.stack([src, tgt], axis=1))
+        bkwd_chunks.append(np.stack([tgt, src], axis=1))
+        nodes = np.arange(base, base + NODES_PER_GRAPH)
+        loop_chunks.append(np.stack([nodes, nodes], axis=1))
+
+    fwd = np.concatenate(fwd_chunks).astype(np.int32)
+    bkwd = np.concatenate(bkwd_chunks).astype(np.int32)
+    loops = np.concatenate(loop_chunks).astype(np.int32)
+
+    def round_up(x, m=512):
+        return ((x + m - 1) // m) * m
+
+    config = PaddingConfig(
+        num_nodes=NODE_BUDGET,
+        num_graphs=GRAPHS_PER_BATCH + 1,
+        edge_budgets=(
+            round_up(loops.shape[0]),
+            round_up(fwd.shape[0]),
+            round_up(bkwd.shape[0]),
+        ),
+    )
+    batch = pad_batch_arrays(
+        node_features=rng.randn(v, FEATURE_DIM).astype(np.float32),
+        adjacency_lists=[loops, fwd, bkwd],
+        node_to_graph=np.repeat(
+            np.arange(GRAPHS_PER_BATCH, dtype=np.int32), NODES_PER_GRAPH
+        ),
+        num_graphs=GRAPHS_PER_BATCH,
+        config=config,
+    )
+    labels = {
+        "node_labels": pad_node_label_array(
+            (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET
+        )
+    }
+    real_edges = loops.shape[0] + fwd.shape[0] + bkwd.shape[0]
+    return batch, labels, real_edges
+
+
+def main():
+    import jax
+
+    from tf2_gnn_tpu.harness.optimizers import make_optimizer
+    from tf2_gnn_tpu.harness.training import create_train_state, make_train_step
+    from tf2_gnn_tpu.models.node_multiclass_task import NodeMulticlassTask
+
+    params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
+    params.update(
+        {
+            "gnn_hidden_dim": 320,
+            "gnn_num_layers": 4,
+            "gnn_normalize_by_num_incoming": True,
+            "learning_rate": 0.001,
+        }
+    )
+    model = NodeMulticlassTask.from_params(params)
+
+    batches = [build_batch(seed) for seed in range(2)]
+    edges_per_step = batches[0][2]
+
+    optimizer = make_optimizer(params)
+    state = create_train_state(model, batches[0][0], optimizer, seed=0)
+    train_step = make_train_step(model, optimizer)
+
+    # Move batches to device once (the measured loop is pure device compute).
+    device_batches = [
+        (jax.device_put(b), jax.device_put(l)) for b, l, _ in batches
+    ]
+
+    for i in range(WARMUP_STEPS):
+        batch, labels = device_batches[i % len(device_batches)]
+        state, metrics = train_step(state, batch, labels)
+    jax.block_until_ready(metrics["loss"])
+
+    start = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        batch, labels = device_batches[i % len(device_batches)]
+        state, metrics = train_step(state, batch, labels)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    steps_per_s = TIMED_STEPS / elapsed
+    graphs_per_s = steps_per_s * GRAPHS_PER_BATCH
+    edges_per_s = steps_per_s * edges_per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_edges_per_s_per_chip_rgcn_L4_d320_ppi_shaped",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(graphs_per_s / BASELINE_GRAPHS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

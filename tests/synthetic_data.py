@@ -24,6 +24,7 @@ def write_jsonl_property_dataset(
     path: Path, num_graphs=12, feature_dim=7, num_fwd_edge_types=1, seed=0
 ):
     """train/valid/test.jsonl.gz with a scalar Property per graph."""
+    path.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
     for fold in ("train", "valid", "test"):
         records = []
@@ -45,6 +46,7 @@ def write_jsonl_property_dataset(
 
 def write_qm9_dataset(path: Path, num_graphs=10, feature_dim=6, seed=0):
     """QM9-format jsonl.gz: graph = (src, 1-indexed type, dst) triples."""
+    path.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
     for fold in ("train", "valid", "test"):
         records = []

@@ -26,7 +26,34 @@ from .layers import (
     register_message_passing_implementation,
 )
 
+from .harness import (
+    get_known_tasks,
+    register_task,
+    run_train_from_args,
+    save_model,
+    test_model,
+    train_loop,
+)
+from .models import (
+    GraphBinaryClassificationTask,
+    GraphRegressionTask,
+    GraphTaskModel,
+    NodeMulticlassTask,
+    QM9RegressionTask,
+)
+
 __all__ = [
+    "GraphBinaryClassificationTask",
+    "GraphRegressionTask",
+    "GraphTaskModel",
+    "NodeMulticlassTask",
+    "QM9RegressionTask",
+    "get_known_tasks",
+    "register_task",
+    "run_train_from_args",
+    "save_model",
+    "test_model",
+    "train_loop",
     "DataFold",
     "GraphBatch",
     "GraphDataset",

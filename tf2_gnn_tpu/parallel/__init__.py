@@ -1,0 +1,28 @@
+"""Scale-out layer: device meshes, data-parallel training, graph partitioning.
+
+The reference is strictly single-device (SURVEY.md §2.4: no DP/TP/PP/SP, no
+collectives anywhere); this package is designed TPU-first instead of ported:
+
+* ``data_parallel`` — DP over whole graphs: each device trains on its own
+  padded mega-batch, gradients are ``pmean``-ed over the mesh (the GNN analog
+  of batch DP).
+* ``spmd`` — node/edge-partitioned execution of ONE giant graph across the
+  mesh (the GNN analog of sequence/context parallelism): each device owns a
+  contiguous node range plus all edges targeting it; per layer, transformed
+  source features are exchanged over ICI and aggregated locally.
+"""
+from .data_parallel import (
+    make_dp_eval_step,
+    make_dp_train_step,
+    make_mesh,
+    shard_batches,
+    stack_batches,
+)
+
+__all__ = [
+    "make_dp_eval_step",
+    "make_dp_train_step",
+    "make_mesh",
+    "shard_batches",
+    "stack_batches",
+]
