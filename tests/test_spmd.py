@@ -1,0 +1,207 @@
+"""SPMD node-partitioned giant-graph execution vs single-device ground truth.
+
+The defining correctness property: partitioning a graph over the 8-virtual-
+device mesh and running the halo-exchange path must reproduce the exact
+single-device forward outputs, losses, and gradients for every MP flavour and
+every graph-level reduction (readouts, exchange, per-node losses).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.data.graph_batch import PaddingConfig, pad_batch_arrays
+from tf2_gnn_tpu.harness.optimizers import make_optimizer
+from tf2_gnn_tpu.harness.training import create_train_state, make_train_step
+from tf2_gnn_tpu.models.graph_regression_task import GraphRegressionTask
+from tf2_gnn_tpu.models.node_multiclass_task import NodeMulticlassTask
+from tf2_gnn_tpu.parallel import (
+    make_mesh,
+    make_spmd_eval_step,
+    make_spmd_forward,
+    make_spmd_train_step,
+    partition_graph,
+)
+
+NUM_SHARDS = 8
+
+
+def _giant_graph(num_nodes=96, num_edge_types=2, edges_per_type=300,
+                 feature_dim=12, num_graphs=3, seed=0):
+    rng = np.random.RandomState(seed)
+    node_features = rng.randn(num_nodes, feature_dim).astype(np.float32)
+    adjacency = [
+        np.stack(
+            [rng.randint(0, num_nodes, edges_per_type),
+             rng.randint(0, num_nodes, edges_per_type)],
+            axis=1,
+        ).astype(np.int32)
+        for _ in range(num_edge_types)
+    ]
+    node_to_graph = np.sort(rng.randint(0, num_graphs, num_nodes)).astype(np.int32)
+    return node_features, adjacency, node_to_graph, num_graphs
+
+
+def _single_device_batch(node_features, adjacency, node_to_graph, num_graphs,
+                         num_graphs_padded):
+    num_nodes = node_features.shape[0]
+    config = PaddingConfig(
+        num_nodes=num_nodes + 8,
+        num_graphs=num_graphs_padded,
+        edge_budgets=tuple(a.shape[0] + 16 for a in adjacency),
+    )
+    return pad_batch_arrays(node_features, adjacency, node_to_graph,
+                            num_graphs, config)
+
+
+def _model_params(task_cls, flavour, **extra):
+    params = task_cls.get_default_hyperparameters(flavour)
+    params.update(
+        {
+            "gnn_hidden_dim": 12,
+            "gnn_num_layers": 3,
+            "gnn_layer_input_dropout_rate": 0.0,
+            "graph_aggregation_dropout_rate": 0.0,
+            "regression_mlp_dropout": 0.0,
+            "gnn_global_exchange_dropout_rate": 0.0,
+        }
+    )
+    params.update(extra)
+    return {k: v for k, v in params.items() if not k.startswith("_")}
+
+
+@pytest.mark.parametrize(
+    "flavour", ["rgcn", "ggnn", "rgat", "rgin", "gnn_edge_mlp", "gnn_film"]
+)
+def test_spmd_forward_matches_single_device(flavour):
+    nf, adj, n2g, g = _giant_graph()
+    params = _model_params(NodeMulticlassTask, flavour)
+    model = NodeMulticlassTask.from_params(params)
+
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4)
+    fwd = make_spmd_forward(model, mesh)
+    (spmd_logits,) = fwd(variables["params"], sharded)
+    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits)[: nf.shape[0]],
+        spmd_flat[: nf.shape[0]],
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_spmd_forward_with_global_exchange_and_layernorm():
+    nf, adj, n2g, g = _giant_graph(seed=3)
+    params = _model_params(
+        NodeMulticlassTask, "rgcn",
+        gnn_global_exchange_every_num_layers=1,
+        gnn_use_inter_layer_layernorm=True,
+        gnn_global_exchange_mode="gru",
+    )
+    model = NodeMulticlassTask.from_params(params)
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4)
+    (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"], sharded)
+    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    np.testing.assert_allclose(
+        np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_spmd_graph_regression_readout_matches():
+    nf, adj, n2g, g = _giant_graph(seed=5)
+    params = _model_params(GraphRegressionTask, "rgcn")
+    model = GraphRegressionTask.from_params(params)
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    ref_out = np.asarray(model.apply(variables, single, False))
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4)
+    spmd_out = np.asarray(
+        make_spmd_forward(model, mesh)(variables["params"], sharded)
+    )
+    # Graph-level outputs are replicated on every shard.
+    for s in range(NUM_SHARDS):
+        np.testing.assert_allclose(spmd_out[s], spmd_out[0], atol=1e-6)
+    np.testing.assert_allclose(ref_out[:g], spmd_out[0][:g], rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_spmd_train_step_matches_single_device():
+    """One SGD step on the partitioned graph == one step on the full graph."""
+    nf, adj, n2g, g = _giant_graph(seed=7)
+    labels_np = (np.random.RandomState(1).rand(nf.shape[0], 121) > 0.9).astype(
+        np.float32
+    )
+    params = _model_params(NodeMulticlassTask, "rgcn")
+    params.update({"optimizer": "SGD", "momentum": 0.0, "learning_rate": 0.05})
+    model = NodeMulticlassTask.from_params(params)
+    optimizer = make_optimizer(params)
+
+    # Single device.
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    from tf2_gnn_tpu.data.graph_batch import pad_node_label_array
+
+    single_labels = {
+        "node_labels": pad_node_label_array(labels_np, single.num_nodes_padded)
+    }
+    state_a = create_train_state(model, single, optimizer, seed=0)
+    local_step = make_train_step(model, optimizer)
+    state_a, m_a = local_step(state_a, single, single_labels)
+
+    # SPMD over 8 shards.
+    mesh = make_mesh(axis_name="nodes")
+    sharded, sharded_labels = partition_graph(
+        nf, adj, n2g, g, NUM_SHARDS, num_graphs_padded=4,
+        node_labels={"node_labels": labels_np},
+    )
+    state_b = create_train_state(model, single, optimizer, seed=0)
+    spmd_step = make_spmd_train_step(model, optimizer, mesh)
+    state_b, m_b = spmd_step(state_b, sharded, sharded_labels)
+
+    # Edge sums run in shard order vs global order -> f32 accumulation noise;
+    # F1 additionally thresholds near-zero logits of the untrained model, so a
+    # few predictions flip under that noise.
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_a["f1_score"]), float(m_b["f1_score"]),
+                               atol=5e-3)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-3,
+                                   atol=5e-4)
+
+
+def test_spmd_eval_step_metrics_replicated():
+    nf, adj, n2g, g = _giant_graph(seed=9)
+    labels_np = (np.random.RandomState(2).rand(nf.shape[0], 121) > 0.9).astype(
+        np.float32
+    )
+    params = _model_params(NodeMulticlassTask, "rgin")
+    model = NodeMulticlassTask.from_params(params)
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, sharded_labels = partition_graph(
+        nf, adj, n2g, g, NUM_SHARDS, num_graphs_padded=4,
+        node_labels={"node_labels": labels_np},
+    )
+    metrics = make_spmd_eval_step(model, mesh)(
+        variables["params"], sharded, sharded_labels
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["f1_score"]) <= 1.0

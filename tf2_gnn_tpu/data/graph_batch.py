@@ -16,8 +16,9 @@ instead a *padded* batch with fixed budgets:
 Segment ops therefore need no masks in the hot loop; only losses/metrics mask
 by validity, via the ``node_mask``/``graph_mask``/``edge_mask`` helpers.
 """
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -58,6 +59,13 @@ class GraphBatch:
     num_edges: jnp.ndarray
     num_graphs: jnp.ndarray
     num_graphs_padded: int = struct.field(pytree_node=False)
+    # SPMD node-partitioned mode (parallel/spmd.py): when set, this batch is
+    # one shard of a node-partitioned giant graph executing under shard_map
+    # over the named mesh axis. ``edge_sources`` then hold GLOBAL node ids
+    # (gathered via all_gather over the axis), ``edge_targets`` hold LOCAL ids
+    # with padded slots pointing at the local discard row (index
+    # num_nodes_padded), and graph-level segment reductions psum over the axis.
+    spmd_axis: Optional[str] = struct.field(pytree_node=False, default=None)
 
     # ---- static shape accessors -------------------------------------------------
     @property
@@ -71,6 +79,41 @@ class GraphBatch:
     @property
     def pad_node_index(self) -> int:
         return self.num_nodes_padded - 1
+
+    # ---- SPMD helpers ------------------------------------------------------------
+    @property
+    def aggregation_segments(self) -> int:
+        """Segment count for scatter-reduces over edge targets: the local node
+        rows plus (in SPMD mode) one trailing discard row for padded edges."""
+        return self.num_nodes_padded + (1 if self.spmd_axis is not None else 0)
+
+    def slice_aggregated(self, aggregated: jnp.ndarray) -> jnp.ndarray:
+        """Drop the SPMD discard row from a [aggregation_segments, ...] array."""
+        if self.spmd_axis is None:
+            return aggregated
+        return aggregated[: self.num_nodes_padded]
+
+    def gather_source_rows(self, table: jnp.ndarray, edge_type: int) -> jnp.ndarray:
+        """Gather per-edge source rows from a node-space table.
+
+        ``table`` is [V_local, ...] (or [L, V_local, ...] — pass table[l]).
+        In SPMD mode the table is first all_gather-ed over the mesh axis so
+        global source ids resolve; single-device mode is a plain local gather.
+        """
+        from ..ops.segment import gather_rows
+
+        indices = self.edge_sources[edge_type]
+        if self.spmd_axis is not None:
+            table = jax.lax.all_gather(table, self.spmd_axis, axis=0, tiled=True)
+        return gather_rows(table, indices)
+
+    def gather_target_rows(self, table: jnp.ndarray, edge_type: int) -> jnp.ndarray:
+        """Gather per-edge target rows — always local (each shard owns the
+        edges that target its nodes; padded slots clamp into the last row and
+        only ever influence the discard row)."""
+        from ..ops.segment import gather_rows
+
+        return gather_rows(table, self.edge_targets[edge_type])
 
     # ---- validity masks ----------------------------------------------------------
     @property

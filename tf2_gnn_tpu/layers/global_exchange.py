@@ -31,6 +31,7 @@ class GraphGlobalExchange(nn.Module):
         node_to_graph: jnp.ndarray,
         num_graphs: int,
         training: bool,
+        spmd_axis=None,
     ) -> jnp.ndarray:
         graph_reprs = WeightedSumGraphRepresentation(
             graph_representation_size=self.hidden_dim,
@@ -38,7 +39,7 @@ class GraphGlobalExchange(nn.Module):
             weighting_fun=self.weighting_fun,
             scoring_mlp_layers=(self.hidden_dim,),
             name="node_to_graph_representation",
-        )(node_embeddings, node_to_graph, num_graphs, training)  # [G, H]
+        )(node_embeddings, node_to_graph, num_graphs, training, spmd_axis)  # [G, H]
         per_node = gather_rows(graph_reprs, node_to_graph)  # [V, H]
         if training and self.dropout_rate > 0.0:
             per_node = nn.Dropout(rate=self.dropout_rate, deterministic=False)(per_node)
@@ -47,18 +48,20 @@ class GraphGlobalExchange(nn.Module):
 
 class GraphGlobalMeanExchange(GraphGlobalExchange):
     @nn.compact
-    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False):
+    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False,
+                 spmd_axis=None):
         per_node = self._per_node_graph_representations(
-            node_embeddings, node_to_graph, num_graphs, training
+            node_embeddings, node_to_graph, num_graphs, training, spmd_axis
         )
         return (node_embeddings + per_node) / 2.0
 
 
 class GraphGlobalGRUExchange(GraphGlobalExchange):
     @nn.compact
-    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False):
+    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False,
+                 spmd_axis=None):
         per_node = self._per_node_graph_representations(
-            node_embeddings, node_to_graph, num_graphs, training
+            node_embeddings, node_to_graph, num_graphs, training, spmd_axis
         )
         # Graph representation is the GRU *input*, node state the GRU *state*
         # (reference graph_global_exchange.py:148-155).
@@ -67,9 +70,10 @@ class GraphGlobalGRUExchange(GraphGlobalExchange):
 
 class GraphGlobalMLPExchange(GraphGlobalExchange):
     @nn.compact
-    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False):
+    def __call__(self, node_embeddings, node_to_graph, num_graphs, training=False,
+                 spmd_axis=None):
         per_node = self._per_node_graph_representations(
-            node_embeddings, node_to_graph, num_graphs, training
+            node_embeddings, node_to_graph, num_graphs, training, spmd_axis
         )
         return MLP(out_size=self.hidden_dim, name="combine_mlp")(
             jnp.concatenate([per_node, node_embeddings], axis=-1), training=training

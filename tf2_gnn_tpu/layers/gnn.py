@@ -150,7 +150,8 @@ class GNN(nn.Module):
                     num_heads=self.global_exchange_num_heads,
                     dropout_rate=self.global_exchange_dropout_rate,
                     name=f"global_exchange_{layer_idx}",
-                )(cur, batch.node_to_graph, batch.num_graphs_padded, training)
+                )(cur, batch.node_to_graph, batch.num_graphs_padded, training,
+                  batch.spmd_axis)
 
             if self.use_inter_layer_layernorm:
                 # Keras LayerNormalization defaults to epsilon=1e-3.

@@ -58,14 +58,17 @@ def get_known_message_passing_classes():
 
 
 def calculate_type_to_num_incoming_edges(batch: GraphBatch) -> jnp.ndarray:
-    """float32 [L, V]: per-type in-degree of every node.
+    """float32 [L, V]: per-type in-degree of every (locally owned) node.
 
     Equivalent of reference message_passing.py:230-263; padded edges target the
-    pad node so real rows are exact without masking.
+    pad node (SPMD: the local discard row) so real rows are exact without
+    masking. In SPMD mode this needs no collective: every edge lives on the
+    shard that owns its target.
     """
-    v = batch.num_nodes_padded
+    v = batch.aggregation_segments
     return jnp.stack(
-        [segment_count(tgt, v) for tgt in batch.edge_targets], axis=0
+        [batch.slice_aggregated(segment_count(tgt, v)) for tgt in batch.edge_targets],
+        axis=0,
     )
 
 
@@ -133,7 +136,9 @@ class MessagePassing(nn.Module):
 
         if self.message_activation_before_aggregation:
             messages = activation(messages)
-        aggregated = aggregation(messages, targets, batch.num_nodes_padded)
+        aggregated = batch.slice_aggregated(
+            aggregation(messages, targets, batch.aggregation_segments)
+        )
         if not self.message_activation_before_aggregation:
             aggregated = activation(aggregated)
         return aggregated

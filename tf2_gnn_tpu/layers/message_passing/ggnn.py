@@ -49,6 +49,8 @@ class GGNN(GNN_Edge_MLP):
         aggregation = get_aggregation_function(self.aggregation_function)
         messages = jnp.concatenate(messages_per_type, axis=0)
         targets = jnp.concatenate(batch.edge_targets, axis=0)
-        aggregated = aggregation(messages, targets, batch.num_nodes_padded)
+        aggregated = batch.slice_aggregated(
+            aggregation(messages, targets, batch.aggregation_segments)
+        )
         # No activation — the GRU *is* the update (reference ggnn.py:70-89).
         return GRUCell(self.hidden_dim, name="gru_cell")(aggregated, node_states)

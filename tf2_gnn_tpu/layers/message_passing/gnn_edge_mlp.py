@@ -72,7 +72,7 @@ class GNN_Edge_MLP(MessagePassing):
                 if i < num_hidden:  # hidden layers get ReLU; final layer doesn't
                     hidden = jax.nn.relu(hidden)
             return [
-                gather_rows(hidden[l], batch.edge_sources[l]) for l in range(num_types)
+                batch.gather_source_rows(hidden[l], l) for l in range(num_types)
             ]
 
         # Split the first layer across source/target halves (node space), run
@@ -94,8 +94,8 @@ class GNN_Edge_MLP(MessagePassing):
 
         messages = []
         for l in range(num_types):
-            h = gather_rows(src_half[l], batch.edge_sources[l]) + gather_rows(
-                tgt_half[l], batch.edge_targets[l]
+            h = batch.gather_source_rows(src_half[l], l) + batch.gather_target_rows(
+                tgt_half[l], l
             )
             if num_hidden >= 1:
                 h = jax.nn.relu(h)  # activation of the (split) first hidden layer

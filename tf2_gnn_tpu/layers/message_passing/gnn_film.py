@@ -61,7 +61,7 @@ class GNN_FiLM(GNN_Edge_MLP):
 
         modulated = []
         for l in range(num_types):
-            per_edge_film = gather_rows(film[l], batch.edge_targets[l])
+            per_edge_film = batch.gather_target_rows(film[l], l)
             gamma = per_edge_film[:, : self.hidden_dim]
             beta = per_edge_film[:, self.hidden_dim :]
             modulated.append(gamma * messages[l] + beta)

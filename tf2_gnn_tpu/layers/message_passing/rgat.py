@@ -67,10 +67,10 @@ class RGAT(MessagePassing):
 
         results = []
         for l in range(num_types):
-            sources, targets = batch.edge_sources[l], batch.edge_targets[l]
-            per_edge_messages = gather_rows(transformed[l], sources)  # [E, K, H/K]
+            per_edge_messages = batch.gather_source_rows(transformed[l], l)  # [E,K,H/K]
             logits = jax.nn.leaky_relu(
-                gather_rows(src_scores[l], sources) + gather_rows(tgt_scores[l], targets),
+                batch.gather_source_rows(src_scores[l], l)
+                + batch.gather_target_rows(tgt_scores[l], l),
                 negative_slope=0.2,  # tf.nn.leaky_relu default (reference rgat.py:113)
             )  # [E, K]
             results.append((per_edge_messages, logits))
@@ -84,15 +84,20 @@ class RGAT(MessagePassing):
         training: bool,
     ) -> jnp.ndarray:
         activation = get_activation_function(self.message_activation_function)
-        num_nodes = batch.num_nodes_padded
+        num_segments = batch.aggregation_segments
 
         messages = jnp.concatenate([m for m, _ in messages_per_type], axis=0)  # [M,K,H/K]
         logits = jnp.concatenate([s for _, s in messages_per_type], axis=0)  # [M, K]
         targets = jnp.concatenate(batch.edge_targets, axis=0)  # [M]
 
         # Softmax per (target node, head) over all edge types jointly
-        # (reference rgat.py:139-151 does exp(segment_log_softmax)).
-        attention = jnp.exp(segment_log_softmax(logits, targets, num_nodes))  # [M, K]
+        # (reference rgat.py:139-151 does exp(segment_log_softmax)). Targets
+        # are local in SPMD mode, so no collective is needed here.
+        attention = jnp.exp(segment_log_softmax(logits, targets, num_segments))  # [M, K]
         weighted = attention[:, :, None] * messages  # [M, K, H/K]
-        aggregated = segment_sum(weighted, targets, num_nodes)  # [V, K, H/K]
-        return activation(aggregated.reshape(num_nodes, self.hidden_dim))
+        aggregated = batch.slice_aggregated(
+            segment_sum(weighted, targets, num_segments)
+        )  # [V, K, H/K]
+        return activation(
+            aggregated.reshape(batch.num_nodes_padded, self.hidden_dim)
+        )

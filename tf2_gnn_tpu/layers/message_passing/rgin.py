@@ -47,7 +47,9 @@ class RGIN(GNN_Edge_MLP):
         activation = get_activation_function(self.message_activation_function)
         messages = jnp.concatenate(messages_per_type, axis=0)
         targets = jnp.concatenate(batch.edge_targets, axis=0)
-        aggregated = aggregation(messages, targets, batch.num_nodes_padded)
+        aggregated = batch.slice_aggregated(
+            aggregation(messages, targets, batch.aggregation_segments)
+        )
         if self.num_aggr_MLP_hidden_layers is not None:
             aggregated = MLP(
                 out_size=self.hidden_dim,

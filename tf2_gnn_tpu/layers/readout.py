@@ -46,7 +46,8 @@ class WeightedSumGraphRepresentation(nn.Module):
         node_to_graph: jnp.ndarray,  # [V]
         num_graphs: int,  # static padded graph count
         training: bool = False,
-    ) -> jnp.ndarray:  # [G, GD]
+        spmd_axis=None,  # mesh axis when nodes are partitioned (parallel/spmd.py)
+    ) -> jnp.ndarray:  # [G, GD] (replicated across the axis in SPMD mode)
         weighting = self.weighting_fun.lower()
         if weighting not in ("none", "average", "softmax", "sigmoid"):
             raise ValueError(f"Unknown weighting function {self.weighting_fun}.")
@@ -70,7 +71,8 @@ class WeightedSumGraphRepresentation(nn.Module):
             if weighting == "sigmoid":
                 weights = jax.nn.sigmoid(scores)
             else:
-                weights = segment_softmax(scores, node_to_graph, num_graphs)
+                weights = segment_softmax(scores, node_to_graph, num_graphs,
+                                          spmd_axis=spmd_axis)
 
         # (2) per-node/head representations
         transformation_act = get_activation_function(
@@ -97,9 +99,11 @@ class WeightedSumGraphRepresentation(nn.Module):
 
         # (3) weight + aggregate by graph
         if weighting == "none":
-            return segment_sum(node_reprs, node_to_graph, num_graphs)
+            return segment_sum(node_reprs, node_to_graph, num_graphs,
+                               spmd_axis=spmd_axis)
         if weighting == "average":
-            return segment_mean(node_reprs, node_to_graph, num_graphs)
+            return segment_mean(node_reprs, node_to_graph, num_graphs,
+                                spmd_axis=spmd_axis)
 
         head_dim = self.graph_representation_size // self.num_heads
         weighted = weights[:, :, None] * node_reprs.reshape(
@@ -109,6 +113,7 @@ class WeightedSumGraphRepresentation(nn.Module):
             weighted.reshape(-1, self.graph_representation_size),
             node_to_graph,
             num_graphs,
+            spmd_axis=spmd_axis,
         )
 
 
@@ -131,6 +136,7 @@ class WASGraphRepresentation(nn.Module):
         node_to_graph: jnp.ndarray,
         num_graphs: int,
         training: bool = False,
+        spmd_axis=None,
     ) -> jnp.ndarray:
         common = dict(
             graph_representation_size=self.graph_representation_size,
@@ -146,10 +152,10 @@ class WASGraphRepresentation(nn.Module):
         )
         avg_repr = WeightedSumGraphRepresentation(
             weighting_fun="softmax", name="weighted_avg", **common
-        )(node_embeddings, node_to_graph, num_graphs, training)
+        )(node_embeddings, node_to_graph, num_graphs, training, spmd_axis)
         sum_repr = WeightedSumGraphRepresentation(
             weighting_fun="sigmoid", name="weighted_sum", **common
-        )(node_embeddings, node_to_graph, num_graphs, training)
+        )(node_embeddings, node_to_graph, num_graphs, training, spmd_axis)
         return nn.Dense(
             self.graph_representation_size,
             use_bias=False,

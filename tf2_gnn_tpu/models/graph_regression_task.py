@@ -68,10 +68,12 @@ class GraphRegressionTask(GraphTaskModel):
         )
         weighted_avg = WeightedSumGraphRepresentation(
             weighting_fun="softmax", name="weighted_avg_readout", **common
-        )(node_reprs, batch.node_to_graph, batch.num_graphs_padded, training)
+        )(node_reprs, batch.node_to_graph, batch.num_graphs_padded, training,
+          batch.spmd_axis)
         weighted_sum = WeightedSumGraphRepresentation(
             weighting_fun="sigmoid", name="weighted_sum_readout", **common
-        )(node_reprs, batch.node_to_graph, batch.num_graphs_padded, training)
+        )(node_reprs, batch.node_to_graph, batch.num_graphs_padded, training,
+          batch.spmd_axis)
 
         graph_reprs = jnp.concatenate([weighted_avg, weighted_sum], axis=-1)
         per_graph = MLP(

@@ -18,14 +18,19 @@ from .graph_task_model import GraphTaskModel
 
 
 def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
-                    mask: jnp.ndarray) -> jnp.ndarray:
+                    mask: jnp.ndarray, spmd_axis=None) -> jnp.ndarray:
     """Micro-averaged F1 over real nodes (reference micro_f1,
-    node_multiclass_task.py:10-23, with padding masked out)."""
+    node_multiclass_task.py:10-23, with padding masked out). In SPMD mode the
+    TP/FP/FN counts are psum-ed over the mesh axis before the ratio."""
     predicted = jnp.round(jax.nn.sigmoid(logits)) * mask[:, None]
     labels = labels * mask[:, None]
     true_pos = jnp.sum(predicted * labels)
     false_pos = jnp.sum(predicted * (1.0 - labels) * mask[:, None])
     false_neg = jnp.sum((1.0 - predicted) * labels)
+    if spmd_axis is not None:
+        true_pos = jax.lax.psum(true_pos, spmd_axis)
+        false_pos = jax.lax.psum(false_pos, spmd_axis)
+        false_neg = jax.lax.psum(false_neg, spmd_axis)
     precision = true_pos / jnp.maximum(true_pos + false_pos, SMALL_NUMBER)
     recall = true_pos / jnp.maximum(true_pos + false_neg, SMALL_NUMBER)
     return (2.0 * precision * recall) / jnp.maximum(precision + recall, SMALL_NUMBER)
@@ -68,10 +73,18 @@ class NodeMulticlassTask(GraphTaskModel):
         x, z = per_node_logits, node_labels
         per_entry = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
         per_node = jnp.sum(per_entry, axis=-1) * mask
-        loss = jnp.sum(per_node) / jnp.maximum(batch.num_nodes.astype(jnp.float32), 1.0)
+        loss_sum = jnp.sum(per_node)
+        num_nodes = batch.num_nodes.astype(jnp.float32)
+        num_graphs = batch.num_graphs
+        if batch.spmd_axis is not None:
+            # Node-partitioned giant graph: combine shard-local sums over ICI.
+            loss_sum = jax.lax.psum(loss_sum, batch.spmd_axis)
+            num_nodes = jax.lax.psum(num_nodes, batch.spmd_axis)
+        loss = loss_sum / jnp.maximum(num_nodes, 1.0)
 
-        f1 = masked_micro_f1(per_node_logits, node_labels, mask)
-        return {"loss": loss, "f1_score": f1, "num_graphs": batch.num_graphs}
+        f1 = masked_micro_f1(per_node_logits, node_labels, mask,
+                             spmd_axis=batch.spmd_axis)
+        return {"loss": loss, "f1_score": f1, "num_graphs": num_graphs}
 
     @staticmethod
     def compute_epoch_metrics(task_results: List[Dict[str, Any]]) -> Tuple[float, str]:

@@ -84,7 +84,8 @@ class QM9RegressionTask(GraphTaskModel):
         )
         # Pad nodes scatter only into the pad-graph slot, masked in the loss.
         return segment_sum(
-            per_node_weighted, batch.node_to_graph, batch.num_graphs_padded
+            per_node_weighted, batch.node_to_graph, batch.num_graphs_padded,
+            spmd_axis=batch.spmd_axis,
         )  # [G]
 
     compute_task_metrics = staticmethod(GraphRegressionTask.compute_task_metrics)

@@ -21,23 +21,36 @@ import jax.numpy as jnp
 from ..utils.constants import SMALL_NUMBER
 
 
-def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Sum of ``data`` rows per segment. Empty segments yield 0."""
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                spmd_axis: Optional[str] = None) -> jnp.ndarray:
+    """Sum of ``data`` rows per segment. Empty segments yield 0.
+
+    ``spmd_axis``: when the rows of ``data`` are sharded over a mesh axis but
+    the segments are global (e.g. per-graph readouts of a node-partitioned
+    graph), the partial per-shard sums are psum-ed over ICI so every shard
+    holds the replicated global result.
+    """
+    out = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    if spmd_axis is not None:
+        out = jax.lax.psum(out, spmd_axis)
+    return out
 
 
 def segment_count(segment_ids: jnp.ndarray, num_segments: int,
-                  dtype=jnp.float32) -> jnp.ndarray:
+                  dtype=jnp.float32, spmd_axis: Optional[str] = None) -> jnp.ndarray:
     """Number of entries per segment (in-degree when ids are edge targets)."""
-    return jax.ops.segment_sum(
-        jnp.ones(segment_ids.shape, dtype=dtype), segment_ids, num_segments=num_segments
+    return segment_sum(
+        jnp.ones(segment_ids.shape, dtype=dtype), segment_ids,
+        num_segments=num_segments, spmd_axis=spmd_axis,
     )
 
 
-def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                 spmd_axis: Optional[str] = None) -> jnp.ndarray:
     """Mean per segment. Empty segments yield 0 (matching tf.unsorted_segment_mean)."""
-    totals = segment_sum(data, segment_ids, num_segments)
-    counts = segment_count(segment_ids, num_segments, dtype=totals.dtype)
+    totals = segment_sum(data, segment_ids, num_segments, spmd_axis=spmd_axis)
+    counts = segment_count(segment_ids, num_segments, dtype=totals.dtype,
+                           spmd_axis=spmd_axis)
     counts = counts.reshape(counts.shape + (1,) * (totals.ndim - 1))
     return totals / jnp.maximum(counts, 1.0)
 
@@ -67,35 +80,48 @@ def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
 
 
 def segment_logits_max(logits: jnp.ndarray, segment_ids: jnp.ndarray,
-                       num_segments: int) -> jnp.ndarray:
+                       num_segments: int,
+                       spmd_axis: Optional[str] = None) -> jnp.ndarray:
     """Per-segment max of logits, with empty segments pinned to 0 so that the
     downstream ``logits - max[ids]`` never produces NaN for padded entries."""
-    maxes = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    # The max subtraction is a numerical-stability shift; softmax outputs are
+    # invariant to it, so its true gradient contribution is zero. stop_gradient
+    # encodes that exactly (and pmax has no differentiation rule anyway, so it
+    # must see a primal-only value).
+    maxes = jax.lax.stop_gradient(
+        jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    )
+    if spmd_axis is not None:
+        maxes = jax.lax.pmax(maxes, spmd_axis)
     return jnp.where(jnp.isfinite(maxes), maxes, 0.0)
 
 
 def segment_log_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
-                        num_segments: int) -> jnp.ndarray:
+                        num_segments: int,
+                        spmd_axis: Optional[str] = None) -> jnp.ndarray:
     """Numerically-stable log-softmax within each segment.
 
     Matches dpu-utils' ``unsorted_segment_log_softmax`` semantics: per-segment
     max subtraction, exp, per-segment normalisation in log space.
     ``logits`` may be [M] or [M, K] (softmax is per segment per trailing col).
     """
-    maxes = segment_logits_max(logits, segment_ids, num_segments)
+    maxes = segment_logits_max(logits, segment_ids, num_segments, spmd_axis)
     shifted = logits - maxes[segment_ids]
-    sum_exp = segment_sum(jnp.exp(shifted), segment_ids, num_segments)
+    sum_exp = segment_sum(jnp.exp(shifted), segment_ids, num_segments,
+                          spmd_axis=spmd_axis)
     log_norm = jnp.log(jnp.maximum(sum_exp, SMALL_NUMBER))
     return shifted - log_norm[segment_ids]
 
 
 def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
-                    num_segments: int) -> jnp.ndarray:
+                    num_segments: int,
+                    spmd_axis: Optional[str] = None) -> jnp.ndarray:
     """Numerically-stable softmax within each segment (dpu-utils
     ``unsorted_segment_softmax`` semantics: exp(x - max) / (sum + eps))."""
-    maxes = segment_logits_max(logits, segment_ids, num_segments)
+    maxes = segment_logits_max(logits, segment_ids, num_segments, spmd_axis)
     exp_shifted = jnp.exp(logits - maxes[segment_ids])
-    denom = segment_sum(exp_shifted, segment_ids, num_segments) + SMALL_NUMBER
+    denom = segment_sum(exp_shifted, segment_ids, num_segments,
+                        spmd_axis=spmd_axis) + SMALL_NUMBER
     return exp_shifted / denom[segment_ids]
 
 
@@ -127,16 +153,23 @@ def gather_rows(params: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     (tf2_gnn/utils/gather_dense_gradient.py:10-14). Under JAX the gradient of
     ``take`` is already a scatter-add, but routing through this op lets the
     Pallas backend swap in a fused kernel for both directions.
+
+    Out-of-range indices CLAMP (mode='clip'), never fill with NaN: SPMD
+    padded edge slots intentionally index the virtual discard row (one past
+    the local node range); a NaN fill there would poison weight gradients
+    through NaN*0 even though the forward discards those rows.
     """
-    return jnp.take(params, indices, axis=0)
+    return jnp.take(params, indices, axis=0, mode="clip")
 
 
 def _gather_rows_fwd(params, indices):
-    return jnp.take(params, indices, axis=0), (params.shape[0], indices)
+    return jnp.take(params, indices, axis=0, mode="clip"), (params.shape[0], indices)
 
 
 def _gather_rows_bwd(res, g):
     num_rows, indices = res
+    # Out-of-range ids (discard-row slots) are dropped by the scatter; their
+    # cotangents are exactly zero anyway (the forward discards those rows).
     return jax.ops.segment_sum(g, indices, num_segments=num_rows), None
 
 

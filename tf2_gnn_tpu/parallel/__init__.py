@@ -18,11 +18,21 @@ from .data_parallel import (
     shard_batches,
     stack_batches,
 )
+from .spmd import (
+    make_spmd_eval_step,
+    make_spmd_forward,
+    make_spmd_train_step,
+    partition_graph,
+)
 
 __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_mesh",
+    "make_spmd_eval_step",
+    "make_spmd_forward",
+    "make_spmd_train_step",
+    "partition_graph",
     "shard_batches",
     "stack_batches",
 ]

@@ -1,0 +1,235 @@
+"""SPMD node-partitioned execution of one giant graph across a mesh.
+
+The GNN analog of sequence/context parallelism (SURVEY.md §2.4 items 1-2,
+§5.7): the reference's only scaling lever is its node-budget batcher
+(tf2_gnn/data/graph_dataset.py:161-190, single device); here a graph too large
+for one chip is *partitioned*:
+
+* each shard owns a contiguous node range (features, labels, node states),
+* each edge lives on the shard that owns its TARGET node; sources are global,
+* per MP layer, shards exchange (transformed) node features over ICI via
+  ``all_gather`` (XLA overlaps the collective with the dense node-space
+  matmuls) and aggregate purely locally — padded edge slots scatter into a
+  virtual per-shard discard row,
+* graph-level readouts psum partial per-graph sums; per-node losses psum
+  count/sum pairs (see GraphBatch.spmd_axis plumbing in the layers).
+
+Gradients: each shard computes the partial gradient of the global loss
+through its local terms (all_gather transposes to reduce-scatter), and a
+final psum yields the exact full gradient on every shard.
+"""
+import math
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..data.graph_batch import GraphBatch
+from ..harness.training import TrainState
+from .data_parallel import _combine_metrics, _squeeze_leading
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return int(math.ceil(max(value, 1) / multiple) * multiple)
+
+
+def partition_graph(
+    node_features: np.ndarray,
+    adjacency_lists: Sequence[np.ndarray],
+    node_to_graph: np.ndarray,
+    num_graphs: int,
+    num_shards: int,
+    axis_name: str = "nodes",
+    node_alignment: int = 8,
+    edge_alignment: int = 64,
+    node_labels: Optional[Dict[str, np.ndarray]] = None,
+    graph_labels: Optional[Dict[str, np.ndarray]] = None,
+    num_graphs_padded: Optional[int] = None,
+) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
+    """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
+
+    Returns a GraphBatch whose array leaves carry a leading shard axis
+    (feed through shard_map with in_specs P(axis_name)) plus stacked labels.
+    Node ids in ``edge_sources`` stay GLOBAL; ``edge_targets`` become local
+    to the target's owning shard, with padded slots -> the discard row.
+    """
+    num_nodes = node_features.shape[0]
+    nodes_per_shard = _round_up(
+        int(math.ceil(num_nodes / num_shards)), node_alignment
+    )
+    if num_graphs_padded is None:
+        num_graphs_padded = num_graphs + 1
+
+    # Per-shard real node counts (contiguous ranges; real nodes are a prefix
+    # of the global layout so each shard's real nodes are a prefix too).
+    shard_real_nodes = [
+        int(np.clip(num_nodes - s * nodes_per_shard, 0, nodes_per_shard))
+        for s in range(num_shards)
+    ]
+
+    # Assign edges to the shard owning the target.
+    num_types = len(adjacency_lists)
+    shard_edges: List[List[np.ndarray]] = [
+        [None] * num_types for _ in range(num_shards)
+    ]
+    for edge_type, adj in enumerate(adjacency_lists):
+        adj = np.asarray(adj, dtype=np.int64).reshape(-1, 2)
+        owner = adj[:, 1] // nodes_per_shard
+        for s in range(num_shards):
+            shard_edges[s][edge_type] = adj[owner == s]
+
+    edge_budgets = tuple(
+        _round_up(
+            max(shard_edges[s][t].shape[0] for s in range(num_shards)),
+            edge_alignment,
+        )
+        for t in range(num_types)
+    )
+
+    feat_dim = node_features.shape[1]
+    features = np.zeros((num_shards, nodes_per_shard, feat_dim), dtype=np.float32)
+    n2g = np.full((num_shards, nodes_per_shard), num_graphs_padded - 1,
+                  dtype=np.int32)
+    sources = [
+        np.zeros((num_shards, edge_budgets[t]), dtype=np.int32)
+        for t in range(num_types)
+    ]
+    targets = [
+        # Padded slots point at the discard row (index nodes_per_shard).
+        np.full((num_shards, edge_budgets[t]), nodes_per_shard, dtype=np.int32)
+        for t in range(num_types)
+    ]
+    num_edges = np.zeros((num_shards, num_types), dtype=np.int32)
+
+    for s in range(num_shards):
+        lo = s * nodes_per_shard
+        real = shard_real_nodes[s]
+        if real:
+            features[s, :real] = node_features[lo:lo + real]
+            n2g[s, :real] = node_to_graph[lo:lo + real]
+        for t in range(num_types):
+            e = shard_edges[s][t]
+            count = e.shape[0]
+            if count:
+                sources[t][s, :count] = e[:, 0]
+                targets[t][s, :count] = e[:, 1] - lo
+            num_edges[s, t] = count
+
+    batch = GraphBatch(
+        node_features=features,
+        edge_sources=tuple(sources),
+        edge_targets=tuple(targets),
+        node_to_graph=n2g,
+        num_nodes=np.asarray(shard_real_nodes, dtype=np.int32),
+        num_edges=num_edges,
+        num_graphs=np.full((num_shards,), num_graphs, dtype=np.int32),
+        num_graphs_padded=num_graphs_padded,
+        spmd_axis=axis_name,
+    )
+
+    labels: Dict[str, np.ndarray] = {}
+    for key, values in (node_labels or {}).items():
+        padded = np.zeros((num_shards, nodes_per_shard) + values.shape[1:],
+                          dtype=values.dtype)
+        for s in range(num_shards):
+            lo, real = s * nodes_per_shard, shard_real_nodes[s]
+            if real:
+                padded[s, :real] = values[lo:lo + real]
+        labels[key] = padded
+    for key, values in (graph_labels or {}).items():
+        padded = np.zeros((num_graphs_padded,) + values.shape[1:], dtype=values.dtype)
+        padded[:values.shape[0]] = values
+        labels[key] = np.broadcast_to(
+            padded, (num_shards,) + padded.shape
+        ).copy()
+    return batch, labels
+
+
+def make_spmd_train_step(model, optimizer, mesh: Mesh, axis_name: str = "nodes"):
+    """Jitted node-partitioned train step over ``mesh``.
+
+    (TrainState, partitioned GraphBatch, labels) -> (TrainState, metrics).
+    The per-shard backward pass produces partial gradients of the *global*
+    loss; a psum completes them. Parameters stay replicated.
+    """
+
+    def per_shard(params, rng, batch, labels):
+        batch = _squeeze_leading(batch)
+        labels = _squeeze_leading(labels)
+        dropout_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        def loss_fn(p):
+            task_output = model.apply(
+                {"params": p}, batch, True, rngs={"dropout": dropout_rng}
+            )
+            metrics = model.compute_task_metrics(batch, task_output, labels)
+            return metrics["loss"], metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        # The per-shard loss is the REPLICATED global loss (psum-ed inside the
+        # metrics), and transpose(psum) == psum, so each shard's backward pass
+        # already carries a uniform factor of axis_size on the loss cotangent.
+        # pmean therefore completes the partial parameter gradients to exactly
+        # the gradient of the (single) global loss.
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), grads)
+        return grads, metrics
+
+    sharded_grads = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: GraphBatch, labels):
+        next_rng, dropout_rng = jax.random.split(state.rng)
+        grads, metrics = sharded_grads(state.params, dropout_rng, batch, labels)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                       rng=next_rng),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_spmd_eval_step(model, mesh: Mesh, axis_name: str = "nodes"):
+    def per_shard(params, batch, labels):
+        batch = _squeeze_leading(batch)
+        labels = _squeeze_leading(labels)
+        task_output = model.apply({"params": params}, batch, False)
+        return model.compute_task_metrics(batch, task_output, labels)
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_spmd_forward(model, mesh: Mesh, axis_name: str = "nodes"):
+    """Jitted forward: (params, partitioned batch) -> stacked task output."""
+
+    def per_shard(params, batch):
+        batch = _squeeze_leading(batch)
+        out = model.apply({"params": params}, batch, False)
+        return jax.tree.map(lambda x: x[None], out)
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
