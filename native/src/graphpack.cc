@@ -1,0 +1,149 @@
+// graphpack — native host-side data engine for tf2_gnn_tpu.
+//
+// The TPU-native counterpart of the host work the reference does in Python
+// (tf2_gnn/data/utils.py:9-133 adjacency preprocessing and
+// tf2_gnn/data/graph_dataset.py:161-246 ragged batch assembly): adjacency
+// expansion (backward edges / self loops / in-degrees), padded mega-batch
+// assembly in single memcpy passes, and target-sorted edge reordering for the
+// sorted-segment TPU kernels. Exposed through a plain C ABI consumed via
+// ctypes (tf2_gnn_tpu/native/__init__.py); every function writes into
+// caller-allocated numpy buffers so no allocation crosses the boundary.
+//
+// Build: make -C native   (produces tf2_gnn_tpu/native/libgraphpack.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Adjacency preprocessing.
+//
+// For one forward edge type: writes the processed edge list (forward edges
+// plus flipped edges appended when tied) into out (int32 [cap, 2]).
+// Returns the number of edges written.
+int64_t gp_expand_edges(const int32_t* edges, int64_t num_edges, int tied,
+                        int32_t* out) {
+  // forward copy
+  std::memcpy(out, edges, sizeof(int32_t) * 2 * num_edges);
+  if (!tied) return num_edges;
+  int32_t* flip = out + 2 * num_edges;
+  for (int64_t e = 0; e < num_edges; ++e) {
+    flip[2 * e] = edges[2 * e + 1];
+    flip[2 * e + 1] = edges[2 * e];
+  }
+  return 2 * num_edges;
+}
+
+// Flipped copy of an edge list (the fresh backward type for untied types).
+void gp_flip_edges(const int32_t* edges, int64_t num_edges, int32_t* out) {
+  for (int64_t e = 0; e < num_edges; ++e) {
+    out[2 * e] = edges[2 * e + 1];
+    out[2 * e + 1] = edges[2 * e];
+  }
+}
+
+// Self-loop edge list [num_nodes, 2].
+void gp_self_loops(int64_t num_nodes, int32_t* out) {
+  for (int64_t v = 0; v < num_nodes; ++v) {
+    out[2 * v] = static_cast<int32_t>(v);
+    out[2 * v + 1] = static_cast<int32_t>(v);
+  }
+}
+
+// Per-type in-degree table: counts[num_nodes] (float64, matches the numpy
+// implementation's dtype) for one edge type.
+void gp_in_degrees(const int32_t* edges, int64_t num_edges, int64_t num_nodes,
+                   double* counts) {
+  std::memset(counts, 0, sizeof(double) * num_nodes);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    int32_t t = edges[2 * e + 1];
+    if (t >= 0 && t < num_nodes) counts[t] += 1.0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Padded batch assembly.
+//
+// Concatenate per-graph node features into the padded [v_pad, feat_dim]
+// buffer and fill node_to_graph. `features` is an array of num_graphs
+// pointers; graph_num_nodes gives each graph's node count. The padding rows
+// are zeroed and map to pad_graph_id.
+void gp_pack_nodes(const float** features, const int32_t* graph_num_nodes,
+                   int64_t num_graphs, int64_t feat_dim, int64_t v_pad,
+                   int32_t pad_graph_id, float* node_features_out,
+                   int32_t* node_to_graph_out) {
+  int64_t offset = 0;
+  for (int64_t g = 0; g < num_graphs; ++g) {
+    int64_t n = graph_num_nodes[g];
+    std::memcpy(node_features_out + offset * feat_dim, features[g],
+                sizeof(float) * n * feat_dim);
+    std::fill(node_to_graph_out + offset, node_to_graph_out + offset + n,
+              static_cast<int32_t>(g));
+    offset += n;
+  }
+  std::memset(node_features_out + offset * feat_dim, 0,
+              sizeof(float) * (v_pad - offset) * feat_dim);
+  std::fill(node_to_graph_out + offset, node_to_graph_out + v_pad,
+            pad_graph_id);
+}
+
+// Concatenate one edge type across graphs with node-index offsetting, into
+// split src/tgt arrays padded to `budget` with pad_node. `edges` is an array
+// of num_graphs pointers to int32 [count_g, 2]; counts gives count_g.
+// Returns total real edges written (or -1 if budget overflows).
+int64_t gp_pack_edges(const int32_t** edges, const int64_t* counts,
+                      const int32_t* graph_num_nodes, int64_t num_graphs,
+                      int64_t budget, int32_t pad_node, int32_t* src_out,
+                      int32_t* tgt_out) {
+  int64_t written = 0;
+  int64_t node_offset = 0;
+  for (int64_t g = 0; g < num_graphs; ++g) {
+    int64_t c = counts[g];
+    if (written + c > budget) return -1;
+    const int32_t* e = edges[g];
+    for (int64_t i = 0; i < c; ++i) {
+      src_out[written + i] = e[2 * i] + static_cast<int32_t>(node_offset);
+      tgt_out[written + i] = e[2 * i + 1] + static_cast<int32_t>(node_offset);
+    }
+    written += c;
+    node_offset += graph_num_nodes[g];
+  }
+  std::fill(src_out + written, src_out + budget, pad_node);
+  std::fill(tgt_out + written, tgt_out + budget, pad_node);
+  return written;
+}
+
+// Zero-pad a label array [rows_real, cols] (float32) to [rows_pad, cols].
+void gp_pack_labels(const float** labels, const int32_t* rows_per_graph,
+                    int64_t num_graphs, int64_t cols, int64_t rows_pad,
+                    float* out) {
+  int64_t offset = 0;
+  for (int64_t g = 0; g < num_graphs; ++g) {
+    int64_t n = rows_per_graph[g];
+    std::memcpy(out + offset * cols, labels[g], sizeof(float) * n * cols);
+    offset += n;
+  }
+  std::memset(out + offset * cols, 0, sizeof(float) * (rows_pad - offset) * cols);
+}
+
+// ---------------------------------------------------------------------------
+// Target-sorted edge reordering (stable) — the layout the Pallas
+// sorted-segment kernels want. Writes the permutation applied.
+void gp_sort_by_target(const int32_t* src, const int32_t* tgt, int64_t count,
+                       int32_t* src_out, int32_t* tgt_out, int32_t* perm_out) {
+  std::vector<int32_t> perm(count);
+  std::iota(perm.begin(), perm.end(), 0);
+  std::stable_sort(perm.begin(), perm.end(),
+                   [tgt](int32_t a, int32_t b) { return tgt[a] < tgt[b]; });
+  for (int64_t i = 0; i < count; ++i) {
+    src_out[i] = src[perm[i]];
+    tgt_out[i] = tgt[perm[i]];
+    perm_out[i] = perm[i];
+  }
+}
+
+}  // extern "C"

@@ -247,34 +247,47 @@ class GraphDataset(ABC):
     def _finalise_batch(
         self, batch_graphs: List[GraphSample], config: PaddingConfig
     ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
-        node_features = np.concatenate([g.node_features for g in batch_graphs], axis=0)
-        node_to_graph = np.concatenate(
-            [
-                np.full((g.num_nodes,), i, dtype=np.int32)
-                for i, g in enumerate(batch_graphs)
-            ]
-        )
-        adjacency_lists: List[np.ndarray] = []
-        for edge_type in range(self.num_edge_types):
-            pieces = []
-            offset = 0
-            for g in batch_graphs:
-                adj = g.adjacency_lists[edge_type]
-                if adj.shape[0]:
-                    pieces.append(adj + offset)
-                offset += g.num_nodes
-            adjacency_lists.append(
-                np.concatenate(pieces, axis=0)
-                if pieces
-                else np.zeros((0, 2), dtype=np.int32)
-            )
+        """Assemble one padded mega-batch in single passes via the native data
+        engine (native/src/graphpack.cc; numpy fallback inside the bindings).
+        Replaces the reference's per-graph Python append loop
+        (tf2_gnn/data/graph_dataset.py:202-246)."""
+        from ..native import pack_edges, pack_nodes
 
-        graph_batch = pad_batch_arrays(
+        num_real_nodes = sum(g.num_nodes for g in batch_graphs)
+        v_pad = config.num_nodes
+        if num_real_nodes > v_pad - 1:
+            raise ValueError(
+                f"Batch has {num_real_nodes} nodes but padded budget {v_pad} "
+                f"requires at most {v_pad - 1}."
+            )
+        node_features, node_to_graph = pack_nodes(
+            [g.node_features for g in batch_graphs],
+            v_pad=v_pad,
+            pad_graph_id=config.num_graphs - 1,
+        )
+        graph_num_nodes = [g.num_nodes for g in batch_graphs]
+        pad_node = v_pad - 1
+        sources, targets, real_counts = [], [], []
+        for edge_type in range(self.num_edge_types):
+            src, tgt, count = pack_edges(
+                [g.adjacency_lists[edge_type] for g in batch_graphs],
+                graph_num_nodes,
+                budget=config.edge_budgets[edge_type],
+                pad_node=pad_node,
+            )
+            sources.append(src)
+            targets.append(tgt)
+            real_counts.append(count)
+
+        graph_batch = GraphBatch(
             node_features=node_features,
-            adjacency_lists=adjacency_lists,
+            edge_sources=tuple(sources),
+            edge_targets=tuple(targets),
             node_to_graph=node_to_graph,
-            num_graphs=len(batch_graphs),
-            config=config,
+            num_nodes=np.int32(num_real_nodes),
+            num_edges=np.asarray(real_counts, dtype=np.int32),
+            num_graphs=np.int32(len(batch_graphs)),
+            num_graphs_padded=config.num_graphs,
         )
         return graph_batch, self._batch_label_arrays(batch_graphs, config)
 
@@ -282,16 +295,29 @@ class GraphDataset(ABC):
     def batch_iterator(
         self, data_fold: DataFold
     ) -> Iterator[Tuple[GraphBatch, Dict[str, np.ndarray]]]:
-        """Yield padded (GraphBatch, labels) pairs for one epoch of a fold."""
+        """Yield padded (GraphBatch, labels) pairs for one epoch of a fold.
+
+        With ``use_worker_threads`` batch assembly runs in a background
+        thread (data/prefetch.py), overlapping host packing with device
+        compute — the reference's DoubleBufferedIterator + prefetch(3)
+        pipeline (graph_dataset.py:292-297, training_utils.py:114-115).
+        """
         config = self.padding_config
-        node_budget = config.num_nodes
-        for batch_graphs in self._pack_graphs(
-            self._graph_iterator(data_fold),
-            node_budget,
-            edge_budgets=config.edge_budgets,
-            graph_budget=config.num_graphs,
-        ):
-            yield self._finalise_batch(batch_graphs, config)
+
+        def generate():
+            for batch_graphs in self._pack_graphs(
+                self._graph_iterator(data_fold),
+                config.num_nodes,
+                edge_budgets=config.edge_budgets,
+                graph_budget=config.num_graphs,
+            ):
+                yield self._finalise_batch(batch_graphs, config)
+
+        if self._use_worker_threads:
+            from .prefetch import prefetch
+
+            return prefetch(generate())
+        return generate()
 
     def num_batches(self, data_fold: DataFold) -> int:
         """Count batches in one epoch (packs without materialising batches)."""
