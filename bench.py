@@ -23,14 +23,15 @@ FWD_EDGES_PER_GRAPH = 34000
 GRAPHS_PER_BATCH = 3
 NUM_LABELS = 121
 FEATURE_DIM = 50
-NODE_BUDGET = 8000
+NODE_BUDGET = 8064  # 63 * 128: Pallas node-block aligned
 BASELINE_GRAPHS_PER_S = 2.63  # reference README.md:47
 
 WARMUP_STEPS = 3
-TIMED_STEPS = 20
+TIMED_STEPS_BASE = 10
+TIMED_STEPS_FULL = 30
 
 
-def build_batch(seed: int):
+def build_batch(seed: int, use_pallas: bool = True):
     from tf2_gnn_tpu.data.graph_batch import (
         PaddingConfig,
         pad_batch_arrays,
@@ -74,6 +75,21 @@ def build_batch(seed: int):
         num_graphs=GRAPHS_PER_BATCH,
         config=config,
     )
+    if use_pallas:
+        from tf2_gnn_tpu.ops.spmm_pallas import build_dual_plans, plan_chunk_budget
+
+        plans = []
+        for t in range(batch.num_edge_types):
+            plans.append(
+                build_dual_plans(
+                    np.asarray(batch.edge_sources[t]),
+                    np.asarray(batch.edge_targets[t]),
+                    int(np.asarray(batch.num_edges)[t]),
+                    NODE_BUDGET,
+                    plan_chunk_budget(config.edge_budgets[t], NODE_BUDGET),
+                ).astuple()
+            )
+        batch = batch.replace(scatter_plans=tuple(plans))
     labels = {
         "node_labels": pad_node_label_array(
             (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET
@@ -113,19 +129,23 @@ def main():
         (jax.device_put(b), jax.device_put(l)) for b, l, _ in batches
     ]
 
-    for i in range(WARMUP_STEPS):
-        batch, labels = device_batches[i % len(device_batches)]
-        state, metrics = train_step(state, batch, labels)
-    jax.block_until_ready(metrics["loss"])
+    def run(num_steps, state):
+        start = time.perf_counter()
+        for i in range(num_steps):
+            batch, labels = device_batches[i % len(device_batches)]
+            state, metrics = train_step(state, batch, labels)
+        # Host transfer forces real completion (block_until_ready returns
+        # early through the axon tunnel); differencing two run lengths below
+        # cancels this fixed transfer cost.
+        _ = float(np.asarray(metrics["loss"]))
+        return time.perf_counter() - start, state
 
-    start = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        batch, labels = device_batches[i % len(device_batches)]
-        state, metrics = train_step(state, batch, labels)
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+    _, state = run(WARMUP_STEPS, state)
+    t_base, state = run(TIMED_STEPS_BASE, state)
+    t_full, state = run(TIMED_STEPS_FULL, state)
+    elapsed = t_full - t_base
 
-    steps_per_s = TIMED_STEPS / elapsed
+    steps_per_s = (TIMED_STEPS_FULL - TIMED_STEPS_BASE) / elapsed
     graphs_per_s = steps_per_s * GRAPHS_PER_BATCH
     edges_per_s = steps_per_s * edges_per_step
 

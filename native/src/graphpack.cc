@@ -146,4 +146,45 @@ void gp_sort_by_target(const int32_t* src, const int32_t* tgt, int64_t count,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Chunked scatter plan for the Pallas sorted-segment kernel
+// (tf2_gnn_tpu/ops/spmm_pallas.py). Walks value-sorted edges and splits them
+// into chunks of <= chunk_edges edges whose values share one node block of
+// block_nodes rows. perm/rel must be pre-filled by the caller with -1 /
+// block_nodes sentinels (sized num_chunks * chunk_edges); block_ids sized
+// num_chunks. Returns chunks used, or -1 on overflow.
+int64_t gp_scatter_plan(const int32_t* sorted_vals, const int32_t* order,
+                        int64_t n, int64_t num_chunks, int64_t chunk_edges,
+                        int64_t block_nodes, int32_t* perm, int32_t* rel,
+                        int32_t* block_ids) {
+  std::fill(perm, perm + num_chunks * chunk_edges, -1);
+  std::fill(rel, rel + num_chunks * chunk_edges,
+            static_cast<int32_t>(block_nodes));
+  std::fill(block_ids, block_ids + num_chunks, 0);
+  int64_t chunk = 0, pos = 0;
+  int64_t current_block = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t block = sorted_vals[i] / block_nodes;
+    if (current_block == -1) {
+      current_block = block;
+      block_ids[chunk] = static_cast<int32_t>(block);
+    } else if (block != current_block || pos == chunk_edges) {
+      ++chunk;
+      pos = 0;
+      current_block = block;
+      if (chunk >= num_chunks) return -1;
+      block_ids[chunk] = static_cast<int32_t>(block);
+    }
+    int64_t slot = chunk * chunk_edges + pos;
+    perm[slot] = order[i];
+    rel[slot] = static_cast<int32_t>(sorted_vals[i] - current_block * block_nodes);
+    ++pos;
+  }
+  if (current_block >= 0) {
+    for (int64_t c = chunk + 1; c < num_chunks; ++c)
+      block_ids[c] = block_ids[chunk];
+  }
+  return chunk + 1;
+}
+
 }  // extern "C"

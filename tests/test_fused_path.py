@@ -1,0 +1,109 @@
+"""Fused Pallas message-passing path vs the standard XLA path.
+
+The fused path must be a pure drop-in: identical parameters, near-identical
+outputs and gradients for RGCN / GGNN / RGIN (pure source-gather messages with
+sum aggregation), and correctly bypassed for flavours it doesn't cover.
+"""
+import jax
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.data.graph_dataset import DataFold
+from tf2_gnn_tpu.data.jsonl_property_dataset import JsonLGraphPropertyDataset
+from tf2_gnn_tpu.layers.gnn import GNN
+from tf2_gnn_tpu.ops.spmm_pallas import BLOCK_NODES, build_dual_plans, plan_chunk_budget
+
+from .synthetic_data import write_jsonl_property_dataset
+
+
+def _dataset(tmp_path, use_pallas):
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update(
+        {
+            "num_fwd_edge_types": 1,
+            "max_nodes_per_batch": 40,
+            "use_pallas_spmm": use_pallas,
+        }
+    )
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    return ds
+
+
+def test_pallas_batches_carry_plans_and_aligned_nodes(tmp_path):
+    ds = _dataset(tmp_path, use_pallas=True)
+    batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch.scatter_plans is not None
+    assert len(batch.scatter_plans) == batch.num_edge_types
+    assert batch.num_nodes_padded % BLOCK_NODES == 0
+    for plan in batch.scatter_plans:
+        assert len(plan) == 6
+
+
+@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin"])
+def test_fused_path_matches_standard(tmp_path, flavour):
+    ds_plain = _dataset(tmp_path / "a", use_pallas=False)
+    ds_fused = _dataset(tmp_path / "b", use_pallas=True)
+
+    hp = GNN.get_default_hyperparameters(flavour)
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+
+    batch_fused, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
+    # Same underlying graphs; strip the plans to force the standard path on
+    # identically padded arrays.
+    batch_plain = batch_fused.replace(scatter_plans=None)
+
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_fused, _ = gnn.apply(variables, batch_fused, False)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_fused), rtol=1e-4, atol=1e-5
+    )
+
+    # Parameter structure identical (checkpoint compatibility).
+    vars_fused = gnn.init(jax.random.PRNGKey(0), batch_fused, False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        vars_fused
+    )
+
+    # Gradients agree too.
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_fused = jax.grad(loss)(variables, batch_fused)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_film_and_rgat_ignore_plans(tmp_path):
+    ds_fused = _dataset(tmp_path, use_pallas=True)
+    batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
+    for flavour in ("gnn_film", "rgat"):
+        hp = GNN.get_default_hyperparameters(flavour)
+        hp.update({"hidden_dim": 9 if flavour == "rgat" else 8, "num_layers": 2})
+        gnn = GNN.from_params(hp)
+        variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+        out_with, _ = gnn.apply(variables, batch, False)
+        out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None),
+                                   False)
+        np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
+                                   atol=1e-6)
+
+
+def test_edge_mlp_with_target_state_bypasses_fused(tmp_path):
+    ds_fused = _dataset(tmp_path, use_pallas=True)
+    batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
+    hp = GNN.get_default_hyperparameters("gnn_edge_mlp")
+    hp.update({"hidden_dim": 8, "num_layers": 1})
+    assert hp["use_target_state_as_input"] is True
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out_with, _ = gnn.apply(variables, batch, False)
+    out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None), False)
+    np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
+                               atol=1e-6)

@@ -1,0 +1,116 @@
+"""Pallas sorted-scatter kernel vs XLA segment_sum (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.ops.spmm_pallas import (
+    build_dual_plans,
+    BLOCK_NODES,
+    CHUNK_EDGES,
+    apply_plan_to_sources,
+    gather_scatter_sorted,
+    plan_chunk_budget,
+    plan_sorted_scatter,
+    sorted_segment_sum,
+)
+
+
+def _random_edges(num_edges, v, seed=0):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, v, num_edges).astype(np.int32)
+    tgt = rng.randint(0, v, num_edges).astype(np.int32)
+    return src, tgt
+
+
+@pytest.mark.parametrize("num_edges,v,h", [
+    (1000, 256, 128),
+    (3000, 384, 320),
+    (CHUNK_EDGES, BLOCK_NODES, 128),     # exactly one chunk/block
+    (7, 128, 128),                       # tiny edge count
+])
+def test_sorted_segment_sum_matches_xla(num_edges, v, h):
+    src, tgt = _random_edges(num_edges, v)
+    rng = np.random.RandomState(1)
+    msgs = rng.randn(num_edges, h).astype(np.float32)
+
+    num_chunks = plan_chunk_budget(num_edges, v)
+    perm, rel_tgt, block_ids = plan_sorted_scatter(tgt, num_edges, v, num_chunks)
+
+    # Chunk-ordered messages (sentinel slots get arbitrary garbage).
+    slots = num_chunks * CHUNK_EDGES
+    msgs_chunked = np.full((slots, h), 7.7, dtype=np.float32)
+    valid = perm >= 0
+    msgs_chunked[valid] = msgs[perm[valid]]
+
+    out = sorted_segment_sum(
+        jnp.asarray(msgs_chunked), jnp.asarray(rel_tgt), jnp.asarray(block_ids),
+        num_nodes=v, interpret=True,
+    )
+    expected = np.asarray(
+        jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(tgt), num_segments=v)
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-4)
+
+
+def test_empty_blocks_stay_zero():
+    v, h = 512, 128
+    # All edges target node block 1 only.
+    tgt = np.full((600,), 130, dtype=np.int32)
+    msgs = np.ones((600, h), dtype=np.float32)
+    num_chunks = plan_chunk_budget(600, v)
+    perm, rel_tgt, block_ids = plan_sorted_scatter(tgt, 600, v, num_chunks)
+    slots = num_chunks * CHUNK_EDGES
+    msgs_chunked = np.full((slots, h), 3.3, dtype=np.float32)
+    valid = perm >= 0
+    msgs_chunked[valid] = msgs[perm[valid]]
+    out = np.asarray(sorted_segment_sum(
+        jnp.asarray(msgs_chunked), jnp.asarray(rel_tgt), jnp.asarray(block_ids),
+        num_nodes=v, interpret=True,
+    ))
+    np.testing.assert_array_equal(out[:128], 0.0)
+    np.testing.assert_array_equal(out[131:], 0.0)
+    np.testing.assert_allclose(out[130], 600.0)
+
+
+def test_gather_scatter_fused_forward_and_grad():
+    v, h, num_edges = 256, 128, 2000
+    src, tgt = _random_edges(num_edges, v, seed=3)
+    rng = np.random.RandomState(4)
+    table = jnp.asarray(rng.randn(v, h).astype(np.float32))
+
+    num_chunks = plan_chunk_budget(num_edges, v)
+    plan = build_dual_plans(src, tgt, num_edges, v, num_chunks)
+    plan_j = tuple(jnp.asarray(a) for a in plan.astuple())
+
+    out = gather_scatter_sorted(table, *plan_j, v, True)
+    expected = jax.ops.segment_sum(
+        jnp.take(table, jnp.asarray(src), axis=0), jnp.asarray(tgt),
+        num_segments=v,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-4)
+
+    # Gradient equivalence vs the XLA composition.
+    def loss_pallas(t):
+        o = gather_scatter_sorted(t, *plan_j, v, True)
+        return jnp.sum(o * o)
+
+    def loss_xla(t):
+        o = jax.ops.segment_sum(
+            jnp.take(t, jnp.asarray(src), axis=0), jnp.asarray(tgt),
+            num_segments=v,
+        )
+        return jnp.sum(o * o)
+
+    g_pallas = jax.grad(loss_pallas)(table)
+    g_xla = jax.grad(loss_xla)(table)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_plan_block_ids_non_decreasing():
+    src, tgt = _random_edges(5000, 640, seed=9)
+    num_chunks = plan_chunk_budget(5000, 640)
+    _, _, block_ids = plan_sorted_scatter(tgt, 5000, 640, num_chunks)
+    assert np.all(np.diff(block_ids) >= 0)

@@ -77,6 +77,9 @@ class GraphDataset(ABC):
             "padding_slack": 1.25,
             # Alignment for padded edge budgets (TPU lane-friendly).
             "padding_alignment": 64,
+            # Build dual scatter plans per batch so sum-aggregation flavours
+            # run the fused Pallas gather/scatter kernel (ops/spmm_pallas.py).
+            "use_pallas_spmm": False,
         }
 
     def __init__(
@@ -201,6 +204,11 @@ class GraphDataset(ABC):
         node_budget = int(self._params["max_nodes_per_batch"])
         slack = float(self._params["padding_slack"])
         align = int(self._params["padding_alignment"])
+        if self._params.get("use_pallas_spmm"):
+            # The Pallas scatter kernel tiles nodes in BLOCK_NODES rows.
+            from ..ops.spmm_pallas import BLOCK_NODES
+
+            node_budget = _round_up(node_budget, BLOCK_NODES)
 
         max_edges_per_batch = [0] * self.num_edge_types
         max_edges_per_graph = [0] * self.num_edge_types
@@ -279,6 +287,22 @@ class GraphDataset(ABC):
             targets.append(tgt)
             real_counts.append(count)
 
+        scatter_plans = None
+        if self._params.get("use_pallas_spmm"):
+            from ..ops.spmm_pallas import build_dual_plans, plan_chunk_budget
+
+            plans = []
+            for edge_type in range(self.num_edge_types):
+                plan = build_dual_plans(
+                    sources[edge_type],
+                    targets[edge_type],
+                    real_counts[edge_type],
+                    v_pad,
+                    plan_chunk_budget(config.edge_budgets[edge_type], v_pad),
+                )
+                plans.append(plan.astuple())
+            scatter_plans = tuple(plans)
+
         graph_batch = GraphBatch(
             node_features=node_features,
             edge_sources=tuple(sources),
@@ -288,6 +312,7 @@ class GraphDataset(ABC):
             num_edges=np.asarray(real_counts, dtype=np.int32),
             num_graphs=np.int32(len(batch_graphs)),
             num_graphs_padded=config.num_graphs,
+            scatter_plans=scatter_plans,
         )
         return graph_batch, self._batch_label_arrays(batch_graphs, config)
 

@@ -119,6 +119,11 @@ class MessagePassing(nn.Module):
         message arrays (or flavour-specific tuples, cf. RGAT)."""
         ...
 
+    # GGNN-style subclasses set this False: their update consumes the raw
+    # aggregate and never applies the message activation (reference
+    # ggnn.py:62-89).
+    _apply_message_activation = True
+
     def _compute_new_node_embeddings(
         self,
         node_states: jnp.ndarray,
@@ -127,27 +132,51 @@ class MessagePassing(nn.Module):
         training: bool,
     ) -> jnp.ndarray:
         """Default: concat all types, apply activation before/after the
-        configured segment aggregation (reference message_passing.py:135-179)."""
+        configured segment aggregation (reference message_passing.py:135-179),
+        then hand the aggregate to ``_post_aggregate``."""
         activation = get_activation_function(self.message_activation_function)
         aggregation = get_aggregation_function(self.aggregation_function)
 
         messages = jnp.concatenate(messages_per_type, axis=0)  # [M, H]
         targets = jnp.concatenate(batch.edge_targets, axis=0)  # [M]
 
-        if self.message_activation_before_aggregation:
+        if self._apply_message_activation and self.message_activation_before_aggregation:
             messages = activation(messages)
         aggregated = batch.slice_aggregated(
             aggregation(messages, targets, batch.aggregation_segments)
         )
-        if not self.message_activation_before_aggregation:
-            aggregated = activation(aggregated)
+        return self._post_aggregate(aggregated, node_states, batch, training)
+
+    def _post_aggregate(
+        self,
+        aggregated: jnp.ndarray,
+        node_states: jnp.ndarray,
+        batch: GraphBatch,
+        training: bool,
+    ) -> jnp.ndarray:
+        """Turn the aggregated messages into new node states. Default: the
+        (after-aggregation) activation; GGNN's GRU / RGIN's MLP override."""
+        if self._apply_message_activation and not self.message_activation_before_aggregation:
+            aggregated = get_activation_function(self.message_activation_function)(
+                aggregated
+            )
         return aggregated
+
+    def _fused_sum_aggregate(
+        self, node_states: jnp.ndarray, batch: GraphBatch, training: bool
+    ):
+        """Subclass hook: return the [V, H] sum-aggregated messages via the
+        fused Pallas gather/scatter path, or None when not applicable."""
+        return None
 
     # ------------------------------------------------------------------ entry
     @nn.compact
     def __call__(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool = False
     ) -> jnp.ndarray:
+        fused = self._fused_sum_aggregate(node_states, batch, training)
+        if fused is not None:
+            return self._post_aggregate(fused, node_states, batch, training)
         messages_per_type = self._compute_messages_per_type(node_states, batch, training)
         return self._compute_new_node_embeddings(
             node_states, messages_per_type, batch, training

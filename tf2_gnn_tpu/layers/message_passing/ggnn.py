@@ -34,23 +34,14 @@ class GGNN(GNN_Edge_MLP):
         )
         return params
 
-    def _compute_new_node_embeddings(
-        self,
-        node_states: jnp.ndarray,
-        messages_per_type: List[jnp.ndarray],
-        batch: GraphBatch,
-        training: bool,
-    ) -> jnp.ndarray:
+    # No message activation anywhere — the GRU *is* the update
+    # (reference ggnn.py:70-89).
+    _apply_message_activation = False
+
+    def _post_aggregate(self, aggregated, node_states, batch, training):
         if node_states.shape[-1] != self.hidden_dim:
             raise ValueError(
                 "GGNN requires node state dim == hidden_dim "
                 f"({node_states.shape[-1]} != {self.hidden_dim})."
             )
-        aggregation = get_aggregation_function(self.aggregation_function)
-        messages = jnp.concatenate(messages_per_type, axis=0)
-        targets = jnp.concatenate(batch.edge_targets, axis=0)
-        aggregated = batch.slice_aggregated(
-            aggregation(messages, targets, batch.aggregation_segments)
-        )
-        # No activation — the GRU *is* the update (reference ggnn.py:70-89).
         return GRUCell(self.hidden_dim, name="gru_cell")(aggregated, node_states)

@@ -117,3 +117,45 @@ class GNN_Edge_MLP(MessagePassing):
                 for l in range(batch.num_edge_types)
             ]
         return messages
+
+    def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
+        """Fused Pallas path (ops/spmm_pallas.py) for pure source-gather
+        messages: msg_e = MLP_l(h_src), so the per-type aggregate is one
+        gather+MXU-scatter over the node-space table, and the per-target
+        1/deg_l normalisation folds into a row-wise scale of the per-type
+        aggregate (all edges of type l targeting v share deg_l(v))."""
+        if (
+            batch.scatter_plans is None
+            or batch.spmd_axis is not None
+            or self.use_target_state_as_input
+            or self.aggregation_function != "sum"
+            or (self._apply_message_activation
+                and self.message_activation_before_aggregation)
+        ):
+            return None
+        from ...ops.spmm_pallas import gather_scatter_sorted
+        from ...utils.constants import SMALL_NUMBER
+
+        num_types = batch.num_edge_types
+        layer_sizes = self._edge_mlp_layer_sizes()
+        num_hidden = self.num_edge_MLP_hidden_layers
+        hidden = node_states
+        for i, size in enumerate(layer_sizes):
+            hidden = TypedLinear(
+                num_types, hidden.shape[-1], size, name=f"edge_mlp_layer_{i}"
+            )(hidden)
+            if i < num_hidden:
+                hidden = jax.nn.relu(hidden)
+
+        if self.normalize_by_num_incoming:
+            in_degrees = calculate_type_to_num_incoming_edges(batch)  # [L, V]
+
+        total = None
+        for l in range(num_types):
+            agg = gather_scatter_sorted(
+                hidden[l], *batch.scatter_plans[l], batch.num_nodes_padded
+            )
+            if self.normalize_by_num_incoming:
+                agg = agg * (1.0 / (in_degrees[l] + SMALL_NUMBER))[:, None]
+            total = agg if total is None else total + agg
+        return total

@@ -41,6 +41,11 @@ class GNN_FiLM(GNN_Edge_MLP):
         )
         return params
 
+    def _fused_sum_aggregate(self, node_states, batch, training):
+        # FiLM messages are modulated per edge by the target state — not a
+        # pure source gather, so the fused path does not apply.
+        return None
+
     def _compute_messages_per_type(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool
     ) -> List[jnp.ndarray]:

@@ -36,20 +36,13 @@ class RGIN(GNN_Edge_MLP):
         )
         return params
 
-    def _compute_new_node_embeddings(
-        self,
-        node_states: jnp.ndarray,
-        messages_per_type: List[jnp.ndarray],
-        batch: GraphBatch,
-        training: bool,
-    ) -> jnp.ndarray:
-        aggregation = get_aggregation_function(self.aggregation_function)
+    # The activation always runs after the (optional) aggregation MLP
+    # (reference rgin.py:94-106); the base's before/after machinery is
+    # bypassed by overriding _post_aggregate below.
+    _apply_message_activation = False
+
+    def _post_aggregate(self, aggregated, node_states, batch, training):
         activation = get_activation_function(self.message_activation_function)
-        messages = jnp.concatenate(messages_per_type, axis=0)
-        targets = jnp.concatenate(batch.edge_targets, axis=0)
-        aggregated = batch.slice_aggregated(
-            aggregation(messages, targets, batch.aggregation_segments)
-        )
         if self.num_aggr_MLP_hidden_layers is not None:
             aggregated = MLP(
                 out_size=self.hidden_dim,

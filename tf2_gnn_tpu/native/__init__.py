@@ -75,6 +75,11 @@ def _load():
     lib.gp_sort_by_target.argtypes = [
         _i32p, _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
     ]
+    lib.gp_scatter_plan.restype = ctypes.c_int64
+    lib.gp_scatter_plan.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _i32p, _i32p, _i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -193,6 +198,25 @@ def sort_by_target(
         return src_out, tgt_out, perm
     order = np.argsort(tgt, kind="stable").astype(np.int32)
     return src[order], tgt[order], order
+
+
+def scatter_plan(sorted_vals: np.ndarray, order: np.ndarray, num_chunks: int,
+                 chunk_edges: int, block_nodes: int, perm: np.ndarray,
+                 rel: np.ndarray, block_ids: np.ndarray) -> Optional[int]:
+    """Native chunked scatter planner; returns chunks used (or -1 on
+    overflow), or None when the native library is unavailable (caller falls
+    back to the Python planner)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(
+        lib.gp_scatter_plan(
+            np.ascontiguousarray(sorted_vals, dtype=np.int32),
+            np.ascontiguousarray(order, dtype=np.int32),
+            sorted_vals.shape[0], num_chunks, chunk_edges, block_nodes,
+            perm, rel, block_ids,
+        )
+    )
 
 
 def in_degrees(edges: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -1,0 +1,305 @@
+"""Pallas TPU kernel for the SpMM hot loop: sorted-segment scatter-add.
+
+XLA's scatter lowering dominates the message-passing step (~70-80% of the
+train step on the PPI-shaped benchmark: gather+scatter ~3.6 ms/layer vs
+~0.3 ms for all node-space matmuls). This module replaces the scatter with a
+one-hot MXU matmul over target-sorted, chunk-aligned edges:
+
+* the host (plan_sorted_scatter) sorts each edge type by target and splits
+  the edge stream into chunks of ``CHUNK_EDGES`` edges such that every
+  chunk's targets fall inside ONE node block of ``BLOCK_NODES`` rows; chunks
+  are padded with sentinel slots (rel_target == BLOCK_NODES -> one-hot zero),
+* the kernel runs a (feature-tiles, chunks) grid — chunks innermost so the
+  non-decreasing block_ids sequence revisits an output block only in
+  consecutive steps, accumulating in VMEM; per step it builds the
+  [BLOCK_NODES, CHUNK_EDGES] one-hot matrix from the chunk's block-relative
+  targets with a broadcasted-iota compare (VPU) and adds
+  ``one_hot @ messages_chunk`` (MXU) into the block,
+* the output aliases a zeros buffer so node blocks with no incoming edges
+  stay exactly zero.
+
+FLOP cost: |slots| * BLOCK_NODES * H MACs — with BLOCK_NODES=128 this is far
+cheaper than the HBM round-trips it replaces, and the messages stream is read
+exactly once at full bandwidth.
+
+Reference semantics replaced: tf.math.unsorted_segment_sum at
+tf2_gnn/layers/message_passing/message_passing.py:166-179 (sum aggregation).
+"""
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_NODES = 128   # node rows per output block (one-hot height)
+CHUNK_EDGES = 512   # edges per chunk (one-hot width)
+
+
+def plan_chunk_budget(edge_budget: int, num_nodes_padded: int) -> int:
+    """Static number of chunks for ``edge_budget`` edges of one type.
+
+    Worst case every node-block boundary forces one partially-filled chunk
+    (V/BLOCK_NODES extras) on top of the dense packing.
+    """
+    dense = math.ceil(max(edge_budget, 1) / CHUNK_EDGES)
+    boundaries = math.ceil(num_nodes_padded / BLOCK_NODES)
+    # Round to a multiple of 8: rel_tgt rows are fed in (8, CHUNK_EDGES)
+    # sublane blocks.
+    return math.ceil((dense + boundaries) / 8) * 8
+
+
+def plan_sorted_scatter(
+    targets: np.ndarray,
+    num_edges_real: int,
+    num_nodes_padded: int,
+    num_chunks: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side scatter plan for one edge type.
+
+    ``targets``: int target ids per edge, real edges first; entries at
+    index >= num_edges_real are ignored. Returns
+
+    * ``perm``      int32 [num_chunks * CHUNK_EDGES]: original edge index per
+      chunk slot, -1 for sentinel padding,
+    * ``rel_tgt``   int32 [num_chunks * CHUNK_EDGES]: target relative to the
+      chunk's node block (sentinels get BLOCK_NODES),
+    * ``block_ids`` int32 [num_chunks]: non-decreasing node-block index per
+      chunk (trailing unused chunks repeat the last block).
+    """
+    real = np.asarray(targets[:num_edges_real], dtype=np.int64)
+    order = np.argsort(real, kind="stable")
+    sorted_tgt = real[order]
+
+    slots = num_chunks * CHUNK_EDGES
+    perm = np.full((slots,), -1, dtype=np.int32)
+    rel_tgt = np.full((slots,), BLOCK_NODES, dtype=np.int32)
+    block_ids = np.zeros((num_chunks,), dtype=np.int32)
+
+    # Native single-pass planner when available (~100x the Python loop).
+    from ..native import scatter_plan as native_scatter_plan
+
+    used = native_scatter_plan(
+        sorted_tgt.astype(np.int32), order.astype(np.int32),
+        num_chunks, CHUNK_EDGES, BLOCK_NODES, perm, rel_tgt, block_ids,
+    )
+    if used is not None:
+        if used < 0:
+            raise ValueError(
+                f"Scatter plan overflow: needs more than {num_chunks} chunks."
+            )
+        return perm, rel_tgt, block_ids
+
+    chunk, pos, current_block = 0, 0, -1
+    for i in range(sorted_tgt.shape[0]):
+        block = int(sorted_tgt[i]) // BLOCK_NODES
+        if current_block == -1:
+            current_block = block
+            block_ids[chunk] = block
+        elif block != current_block or pos == CHUNK_EDGES:
+            chunk += 1
+            pos = 0
+            current_block = block
+            if chunk >= num_chunks:
+                raise ValueError(
+                    f"Scatter plan overflow: needs more than {num_chunks} chunks."
+                )
+            block_ids[chunk] = block
+        slot = chunk * CHUNK_EDGES + pos
+        perm[slot] = order[i]
+        rel_tgt[slot] = int(sorted_tgt[i]) - current_block * BLOCK_NODES
+        pos += 1
+    # Keep block_ids non-decreasing through the unused tail.
+    if current_block >= 0 and chunk + 1 < num_chunks:
+        block_ids[chunk + 1:] = block_ids[chunk]
+    return perm, rel_tgt, block_ids
+
+
+def apply_plan_to_sources(sources: np.ndarray, perm: np.ndarray,
+                          pad_source: int) -> np.ndarray:
+    """Chunk-ordered source ids: sources[perm], sentinels -> pad_source."""
+    out = np.full(perm.shape, pad_source, dtype=np.int32)
+    valid = perm >= 0
+    out[valid] = np.asarray(sources)[perm[valid]]
+    return out
+
+
+class EdgeScatterPlan:
+    """Host-built dual plan for one edge type's fused gather/scatter.
+
+    Forward: edges chunked by TARGET (src_by_tgt / rel_tgt / tgt_blocks);
+    backward: the same edges chunked by SOURCE (tgt_by_src / rel_src /
+    src_blocks) so the gradient scatter also rides the MXU kernel.
+    """
+
+    __slots__ = ("src_by_tgt", "rel_tgt", "tgt_blocks",
+                 "tgt_by_src", "rel_src", "src_blocks")
+
+    def __init__(self, src_by_tgt, rel_tgt, tgt_blocks,
+                 tgt_by_src, rel_src, src_blocks):
+        self.src_by_tgt = src_by_tgt
+        self.rel_tgt = rel_tgt
+        self.tgt_blocks = tgt_blocks
+        self.tgt_by_src = tgt_by_src
+        self.rel_src = rel_src
+        self.src_blocks = src_blocks
+
+    def astuple(self):
+        return (self.src_by_tgt, self.rel_tgt, self.tgt_blocks,
+                self.tgt_by_src, self.rel_src, self.src_blocks)
+
+
+def build_dual_plans(
+    sources: np.ndarray,
+    targets: np.ndarray,
+    num_edges_real: int,
+    num_nodes_padded: int,
+    num_chunks: int,
+) -> EdgeScatterPlan:
+    """Build forward (by-target) + backward (by-source) scatter plans."""
+    pad = num_nodes_padded - 1
+    perm_t, rel_tgt, tgt_blocks = plan_sorted_scatter(
+        targets, num_edges_real, num_nodes_padded, num_chunks
+    )
+    src_by_tgt = apply_plan_to_sources(sources, perm_t, pad_source=pad)
+    perm_s, rel_src, src_blocks = plan_sorted_scatter(
+        sources, num_edges_real, num_nodes_padded, num_chunks
+    )
+    tgt_by_src = apply_plan_to_sources(targets, perm_s, pad_source=pad)
+    return EdgeScatterPlan(src_by_tgt, rel_tgt, tgt_blocks,
+                           tgt_by_src, rel_src, src_blocks)
+
+
+def _feature_tile(h: int) -> int:
+    for tile in (512, 384, 256, 128):
+        if h % tile == 0:
+            return tile
+    return h  # single tile; mosaic pads the lane dim
+
+
+def _scatter_kernel(block_ids_ref, rel_tgt_ref, msgs_ref, zeros_ref, out_ref):
+    del zeros_ref
+    c = pl.program_id(1)
+    # rel_tgt arrives in (8, CHUNK_EDGES) row-blocks (TPU sublane rule); pick
+    # this chunk's row.
+    rel = rel_tgt_ref[c % 8, :]  # int32 [CHUNK_EDGES]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
+    )
+    one_hot = (rows == rel[None, :]).astype(jnp.float32)
+    partial_sum = jnp.dot(one_hot, msgs_ref[:], preferred_element_type=jnp.float32)
+
+    prev = block_ids_ref[jnp.maximum(c - 1, 0)]
+    is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
+
+    @pl.when(is_first_visit)
+    def _():
+        out_ref[:, :] = partial_sum
+
+    @pl.when(jnp.logical_not(is_first_visit))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + partial_sum
+
+
+def sorted_segment_sum(
+    msgs: jnp.ndarray,       # [num_chunks * CHUNK_EDGES, H] chunk-ordered
+    rel_tgt: jnp.ndarray,    # int32 [num_chunks * CHUNK_EDGES]
+    block_ids: jnp.ndarray,  # int32 [num_chunks], non-decreasing
+    num_nodes: int,          # padded node count (multiple of BLOCK_NODES)
+    interpret=None,
+) -> jnp.ndarray:
+    """Scatter-add chunk-ordered messages into [num_nodes, H] on the MXU.
+
+    ``interpret=None`` auto-selects the Pallas interpreter off-TPU (tests on
+    the virtual CPU mesh run the same code path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    slots, h = msgs.shape
+    num_chunks = slots // CHUNK_EDGES
+    if num_nodes % BLOCK_NODES != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of {BLOCK_NODES}.")
+    tile = _feature_tile(h)
+    h_tiles = h // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # block_ids
+        grid=(h_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK_EDGES), lambda t, c, ids: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, tile), lambda t, c, ids: (c, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, tile), lambda t, c, ids: (ids[c], t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_NODES, tile),
+                               lambda t, c, ids: (ids[c], t),
+                               memory_space=pltpu.VMEM),
+    )
+    zeros = jnp.zeros((num_nodes, h), dtype=jnp.float32)
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
+        input_output_aliases={3: 0},  # zeros buffer -> out (indices include
+                                      # the scalar-prefetch operand)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * slots * BLOCK_NODES * h,
+            bytes_accessed=slots * h * 4 + num_nodes * h * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES),
+      msgs.astype(jnp.float32), zeros)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def gather_scatter_sorted(
+    table: jnp.ndarray,        # [V, H] node-space (transformed) features
+    src_by_tgt: jnp.ndarray,   # int32 [slots] sources in target-chunk order
+    rel_tgt: jnp.ndarray,      # fwd plan
+    tgt_blocks: jnp.ndarray,
+    tgt_by_src: jnp.ndarray,   # int32 [slots2] ABS targets in source-chunk order
+    rel_src: jnp.ndarray,      # bwd plan (edges sorted/chunked by source)
+    src_blocks: jnp.ndarray,
+    num_nodes: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """Fused edge pass: out[v] = sum over edges (u -> v) of table[u].
+
+    Forward: XLA row gather (bandwidth-bound, reads the table once per edge)
+    feeding the Pallas sorted scatter. Backward: the exact transpose —
+    d_table[u] = sum over edges (u -> v) of g[v] — runs the SAME kernel with
+    the roles of source/target swapped, using a second host-built plan with
+    edges chunked by source. Sentinel slots in either plan contribute zero
+    (rel == BLOCK_NODES -> empty one-hot column; tgt_by_src sentinels carry
+    an out-of-range id whose gather is zeroed by the rel mask).
+    """
+    msgs = jnp.take(table, src_by_tgt, axis=0, mode="clip")
+    return sorted_segment_sum(msgs, rel_tgt, tgt_blocks, num_nodes,
+                              interpret=interpret)
+
+
+def _gss_fwd(table, src_by_tgt, rel_tgt, tgt_blocks, tgt_by_src, rel_src,
+             src_blocks, num_nodes, interpret):
+    out = gather_scatter_sorted(table, src_by_tgt, rel_tgt, tgt_blocks,
+                                tgt_by_src, rel_src, src_blocks, num_nodes,
+                                interpret)
+    return out, (table.shape[0], src_by_tgt, rel_tgt, tgt_blocks, tgt_by_src,
+                 rel_src, src_blocks)
+
+
+def _gss_bwd(num_nodes, interpret, res, g):
+    v_rows, src_by_tgt, rel_tgt, tgt_blocks, tgt_by_src, rel_src, src_blocks = res
+    g_msgs = jnp.take(g, tgt_by_src, axis=0, mode="clip")
+    g_msgs = jnp.where((rel_src >= BLOCK_NODES)[:, None], 0.0, g_msgs)
+    d_table = sorted_segment_sum(g_msgs, rel_src, src_blocks, v_rows,
+                                 interpret=interpret)
+    return d_table, None, None, None, None, None, None
+
+
+gather_scatter_sorted.defvjp(_gss_fwd, _gss_bwd)
