@@ -107,3 +107,19 @@ def test_edge_mlp_with_target_state_bypasses_fused(tmp_path):
     out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None), False)
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
                                atol=1e-6)
+
+
+def test_bf16_edge_dtype_close_to_f32(tmp_path):
+    ds_fused = _dataset(tmp_path, use_pallas=True)
+    batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
+    hp = GNN.get_default_hyperparameters("rgcn")
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn32 = GNN.from_params(hp)
+    hp16 = dict(hp, edge_dtype="bfloat16")
+    gnn16 = GNN.from_params(hp16)
+    variables = gnn32.init(jax.random.PRNGKey(0), batch, False)
+    out32, _ = gnn32.apply(variables, batch, False)
+    out16, _ = gnn16.apply(variables, batch, False)
+    assert np.asarray(out16).dtype == np.float32  # f32 accumulation
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16),
+                               rtol=0.05, atol=0.05)

@@ -142,18 +142,24 @@ def run_train_from_args(
     def save_fun(s):
         save_model(checkpoint_path, model, model_params, dataset, s.params)
 
-    state, best_metric = train_loop(
-        model,
-        state,
-        train_step,
-        eval_step,
-        dataset,
-        max_epochs=getattr(args, "max_epochs", 10000),
-        patience=getattr(args, "patience", 25),
-        log_fun=log,
-        save_model_fun=save_fun,
-        quiet=getattr(args, "quiet", True),
-    )
+    from .metrics_log import MetricsLogger
+
+    with MetricsLogger(save_dir / f"{run_id}_metrics.jsonl", run_id) as mlog:
+        mlog.log("run_start", model=args.model, task=args.task, seed=seed)
+        state, best_metric = train_loop(
+            model,
+            state,
+            train_step,
+            eval_step,
+            dataset,
+            max_epochs=getattr(args, "max_epochs", 10000),
+            patience=getattr(args, "patience", 25),
+            log_fun=log,
+            save_model_fun=save_fun,
+            quiet=getattr(args, "quiet", True),
+            metrics_logger=mlog,
+        )
+        mlog.log("run_end", best_valid_metric=float(best_metric))
     log(f"Best validation metric: {best_metric:.5f} "
         f"(checkpoint {checkpoint_path}).")
 

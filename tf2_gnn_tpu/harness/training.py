@@ -158,6 +158,7 @@ def train_loop(
     save_model_fun: Optional[Callable[[TrainState], None]] = None,
     epoch_metrics_fn: Optional[Callable] = None,
     quiet: bool = True,
+    metrics_logger=None,
 ) -> Tuple[TrainState, float]:
     """Best-validation-metric training loop with early stopping.
 
@@ -185,11 +186,14 @@ def train_loop(
             train_step, state, dataset.batch_iterator(DataFold.TRAIN), quiet=quiet,
             log_fun=log_fun,
         )
-        _, train_metric_str = epoch_metrics_fn(train_results)
+        train_metric, train_metric_str = epoch_metrics_fn(train_results)
         log_fun(
             f" Train:  {train_loss:.4f} loss | {train_metric_str} | "
             f"{train_speed:.2f} graphs/s"
         )
+        if metrics_logger is not None:
+            metrics_logger.log_epoch(epoch, "train", train_loss, train_metric,
+                                     train_metric_str, train_speed)
         valid_loss, valid_speed, valid_results = run_eval_epoch(
             eval_step, state.params, dataset.batch_iterator(DataFold.VALIDATION)
         )
@@ -198,6 +202,9 @@ def train_loop(
             f" Valid:  {valid_loss:.4f} loss | {valid_metric_str} | "
             f"{valid_speed:.2f} graphs/s"
         )
+        if metrics_logger is not None:
+            metrics_logger.log_epoch(epoch, "valid", valid_loss, valid_metric,
+                                     valid_metric_str, valid_speed)
 
         if valid_metric < best_metric:
             log_fun(

@@ -85,6 +85,9 @@ class MessagePassing(nn.Module):
     aggregation_function: str = "sum"
     message_activation_function: str = "relu"
     message_activation_before_aggregation: bool = False
+    # Dtype of the per-edge message stream (gather + scatter operands).
+    # "bfloat16" halves edge-path HBM traffic; aggregation accumulates f32.
+    edge_dtype: str = "float32"
 
     @classmethod
     def get_default_hyperparameters(cls) -> Dict[str, Any]:
@@ -95,6 +98,7 @@ class MessagePassing(nn.Module):
             "message_activation_function": "relu",
             "message_activation_before_aggregation": False,
             "hidden_dim": 7,
+            "edge_dtype": "float32",
         }
 
     @classmethod
@@ -138,6 +142,7 @@ class MessagePassing(nn.Module):
         aggregation = get_aggregation_function(self.aggregation_function)
 
         messages = jnp.concatenate(messages_per_type, axis=0)  # [M, H]
+        messages = messages.astype(jnp.float32)  # f32 accumulation
         targets = jnp.concatenate(batch.edge_targets, axis=0)  # [M]
 
         if self._apply_message_activation and self.message_activation_before_aggregation:

@@ -71,6 +71,8 @@ class GNN_Edge_MLP(MessagePassing):
                 )(hidden)
                 if i < num_hidden:  # hidden layers get ReLU; final layer doesn't
                     hidden = jax.nn.relu(hidden)
+            if self.edge_dtype != "float32":
+                hidden = hidden.astype(self.edge_dtype)
             return [
                 batch.gather_source_rows(hidden[l], l) for l in range(num_types)
             ]
@@ -150,6 +152,8 @@ class GNN_Edge_MLP(MessagePassing):
         if self.normalize_by_num_incoming:
             in_degrees = calculate_type_to_num_incoming_edges(batch)  # [L, V]
 
+        if self.edge_dtype != "float32":
+            hidden = hidden.astype(self.edge_dtype)
         total = None
         for l in range(num_types):
             agg = gather_scatter_sorted(

@@ -189,7 +189,9 @@ def _scatter_kernel(block_ids_ref, rel_tgt_ref, msgs_ref, zeros_ref, out_ref):
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
     )
-    one_hot = (rows == rel[None, :]).astype(jnp.float32)
+    # One-hot in the message dtype (bf16 halves the MXU operand bandwidth);
+    # accumulation stays f32 via preferred_element_type.
+    one_hot = (rows == rel[None, :]).astype(msgs_ref.dtype)
     partial_sum = jnp.dot(one_hot, msgs_ref[:], preferred_element_type=jnp.float32)
 
     prev = block_ids_ref[jnp.maximum(c - 1, 0)]
@@ -253,8 +255,7 @@ def sorted_segment_sum(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES),
-      msgs.astype(jnp.float32), zeros)
+    )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES), msgs, zeros)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8))
