@@ -76,20 +76,15 @@ def build_batch(seed: int, use_pallas: bool = True):
         config=config,
     )
     if use_pallas:
-        from tf2_gnn_tpu.ops.spmm_pallas import build_dual_plans, plan_chunk_budget
+        from tf2_gnn_tpu.ops.spmm_pallas import build_merged_plans
 
-        plans = []
-        for t in range(batch.num_edge_types):
-            plans.append(
-                build_dual_plans(
-                    np.asarray(batch.edge_sources[t]),
-                    np.asarray(batch.edge_targets[t]),
-                    int(np.asarray(batch.num_edges)[t]),
-                    NODE_BUDGET,
-                    plan_chunk_budget(config.edge_budgets[t], NODE_BUDGET),
-                ).astuple()
-            )
-        batch = batch.replace(scatter_plans=tuple(plans))
+        plan = build_merged_plans(
+            [np.asarray(s_) for s_ in batch.edge_sources],
+            [np.asarray(t_) for t_ in batch.edge_targets],
+            [int(c) for c in np.asarray(batch.num_edges)],
+            NODE_BUDGET,
+        )
+        batch = batch.replace(scatter_plans=plan.astuple())
     labels = {
         "node_labels": pad_node_label_array(
             (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET

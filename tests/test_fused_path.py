@@ -35,10 +35,8 @@ def test_pallas_batches_carry_plans_and_aligned_nodes(tmp_path):
     ds = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
     assert batch.scatter_plans is not None
-    assert len(batch.scatter_plans) == batch.num_edge_types
+    assert len(batch.scatter_plans) == 9  # MergedScatterPlan.astuple()
     assert batch.num_nodes_padded % BLOCK_NODES == 0
-    for plan in batch.scatter_plans:
-        assert len(plan) == 6
 
 
 @pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin"])

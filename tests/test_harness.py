@@ -171,3 +171,36 @@ def test_cli_train_and_test_end_to_end(tmp_path, capsys):
 
     metric = test_model(ckpt, data_dir)
     assert np.isfinite(metric)
+
+
+def test_predict_concatenates_real_rows(tmp_path):
+    from tf2_gnn_tpu.harness.training import predict
+
+    ds, model, params, state, batch = _trained_setup(tmp_path / "data")
+    out = predict(model, state.params,
+                  ds.batch_iterator(DataFold.VALIDATION))
+    total_graphs = sum(
+        int(np.asarray(b.num_graphs))
+        for b, _ in ds.batch_iterator(DataFold.VALIDATION)
+    )
+    assert np.asarray(out).shape[0] == total_graphs
+
+
+def test_gnn_input_library_embedding():
+    from tf2_gnn_tpu.layers import GNN, GNNInput, batch_from_gnn_input
+
+    rng = np.random.RandomState(0)
+    gi = GNNInput(
+        node_features=rng.randn(10, 6).astype(np.float32),
+        adjacency_lists=[np.array([[0, 1], [2, 3], [4, 5]], dtype=np.int32)],
+        node_to_graph_map=np.array([0] * 5 + [1] * 5, dtype=np.int32),
+        num_graphs=2,
+    )
+    batch = batch_from_gnn_input(gi)
+    hp = GNN.get_default_hyperparameters("rgcn")
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out, _ = gnn.apply(variables, batch, False)
+    assert out.shape == (batch.num_nodes_padded, 8)
+    assert np.all(np.isfinite(np.asarray(out)))

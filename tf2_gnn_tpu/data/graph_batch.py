@@ -66,11 +66,11 @@ class GraphBatch:
     # with padded slots pointing at the local discard row (index
     # num_nodes_padded), and graph-level segment reductions psum over the axis.
     spmd_axis: Optional[str] = struct.field(pytree_node=False, default=None)
-    # Optional per-edge-type dual scatter plans for the Pallas sorted-segment
-    # SpMM kernel (ops/spmm_pallas.py): tuple of 6-array tuples
-    # (src_by_tgt, rel_tgt, tgt_blocks, tgt_by_src, rel_src, src_blocks).
-    # Built by the batcher when the dataset enables ``use_pallas_spmm``.
-    scatter_plans: Optional[Tuple[Tuple[jnp.ndarray, ...], ...]] = None
+    # Optional merged dual scatter plan covering ALL edge types for the
+    # Pallas sorted-segment SpMM kernel (ops/spmm_pallas.py
+    # MergedScatterPlan.astuple() — 9 int32 arrays). Built by the batcher
+    # when the dataset enables ``use_pallas_spmm``.
+    scatter_plans: Optional[Tuple[jnp.ndarray, ...]] = None
 
     # ---- static shape accessors -------------------------------------------------
     @property

@@ -289,19 +289,11 @@ class GraphDataset(ABC):
 
         scatter_plans = None
         if self._params.get("use_pallas_spmm"):
-            from ..ops.spmm_pallas import build_dual_plans, plan_chunk_budget
+            from ..ops.spmm_pallas import build_merged_plans
 
-            plans = []
-            for edge_type in range(self.num_edge_types):
-                plan = build_dual_plans(
-                    sources[edge_type],
-                    targets[edge_type],
-                    real_counts[edge_type],
-                    v_pad,
-                    plan_chunk_budget(config.edge_budgets[edge_type], v_pad),
-                )
-                plans.append(plan.astuple())
-            scatter_plans = tuple(plans)
+            scatter_plans = build_merged_plans(
+                sources, targets, real_counts, v_pad
+            ).astuple()
 
         graph_batch = GraphBatch(
             node_features=node_features,

@@ -97,6 +97,33 @@ def make_predict_step(model: GraphTaskModel):
     return predict_step
 
 
+def predict(model: GraphTaskModel, params, batches) -> Any:
+    """Run prediction over a batch stream and concatenate the REAL rows of
+    each output (reference GraphTaskModel.predict,
+    tf2_gnn/models/graph_task_model.py:401-408).
+
+    Per-graph outputs keep rows [:num_graphs]; per-node outputs keep rows
+    [:num_nodes]; tuple outputs are handled elementwise.
+    """
+    predict_step = make_predict_step(model)
+    pieces: List[Any] = []
+    for batch, _ in batches:
+        out = predict_step(params, batch)
+        n_graphs = int(np.asarray(batch.num_graphs))
+        n_nodes = int(np.asarray(batch.num_nodes))
+
+        def trim(x):
+            x = np.asarray(x)
+            if x.shape[0] == batch.num_graphs_padded:
+                return x[:n_graphs]
+            if x.shape[0] == batch.num_nodes_padded:
+                return x[:n_nodes]
+            return x
+
+        pieces.append(jax.tree.map(trim, out))
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
+
+
 def _to_host(metrics: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in metrics.items()}
 

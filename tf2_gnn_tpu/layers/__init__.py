@@ -1,5 +1,6 @@
 """Core GNN layers (reference: tf2_gnn/layers)."""
 from .gnn import GNN
+from .gnn_input import GNNInput, batch_from_gnn_input
 from .global_exchange import (
     GraphGlobalExchange,
     GraphGlobalGRUExchange,
@@ -26,6 +27,8 @@ from .message_passing import (
 )
 
 __all__ = [
+    "GNNInput",
+    "batch_from_gnn_input",
     "GNN",
     "MLP",
     "GraphGlobalExchange",

@@ -122,10 +122,10 @@ class GNN_Edge_MLP(MessagePassing):
 
     def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
         """Fused Pallas path (ops/spmm_pallas.py) for pure source-gather
-        messages: msg_e = MLP_l(h_src), so the per-type aggregate is one
-        gather+MXU-scatter over the node-space table, and the per-target
-        1/deg_l normalisation folds into a row-wise scale of the per-type
-        aggregate (all edges of type l targeting v share deg_l(v))."""
+        messages: msg_e = MLP_l(h_src). ONE gather over the stacked
+        [L*V, H] node-space table + ONE MXU scatter covers every edge type,
+        with the per-edge 1/deg_l(tgt) normalisation folded into the
+        kernel's one-hot columns."""
         if (
             batch.scatter_plans is None
             or batch.spmd_axis is not None
@@ -135,7 +135,7 @@ class GNN_Edge_MLP(MessagePassing):
                 and self.message_activation_before_aggregation)
         ):
             return None
-        from ...ops.spmm_pallas import gather_scatter_sorted
+        from ...ops.spmm_pallas import typed_gather_scatter
         from ...utils.constants import SMALL_NUMBER
 
         num_types = batch.num_edge_types
@@ -149,17 +149,22 @@ class GNN_Edge_MLP(MessagePassing):
             if i < num_hidden:
                 hidden = jax.nn.relu(hidden)
 
+        (src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
+         tgtabs_by_src, rel_src, src_blocks, type_bwd) = batch.scatter_plans
+        v = batch.num_nodes_padded
         if self.normalize_by_num_incoming:
-            in_degrees = calculate_type_to_num_incoming_edges(batch)  # [L, V]
+            deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
+            inv = 1.0 / (deg_flat + SMALL_NUMBER)  # [L*V]
+            scale_fwd = jnp.take(inv, type_fwd * v + tgtabs_fwd, mode="clip")
+            scale_bwd = jnp.take(inv, type_bwd * v + tgtabs_by_src, mode="clip")
+        else:
+            scale_fwd = jnp.ones(src_merged.shape, dtype=jnp.float32)
+            scale_bwd = jnp.ones(rel_src.shape, dtype=jnp.float32)
 
+        tables = hidden.reshape(num_types * v, -1)
         if self.edge_dtype != "float32":
-            hidden = hidden.astype(self.edge_dtype)
-        total = None
-        for l in range(num_types):
-            agg = gather_scatter_sorted(
-                hidden[l], *batch.scatter_plans[l], batch.num_nodes_padded
-            )
-            if self.normalize_by_num_incoming:
-                agg = agg * (1.0 / (in_degrees[l] + SMALL_NUMBER))[:, None]
-            total = agg if total is None else total + agg
-        return total
+            tables = tables.astype(self.edge_dtype)
+        return typed_gather_scatter(
+            tables, scale_fwd, scale_bwd, src_merged, rel_tgt, tgt_blocks,
+            type_fwd, tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks, v,
+        )

@@ -173,6 +173,126 @@ def build_dual_plans(
                            tgt_by_src, rel_src, src_blocks)
 
 
+class MergedScatterPlan:
+    """Host-built plan covering ALL edge types of a batch in one kernel.
+
+    The per-type tables are stacked [L, V, H] and flattened to [L*V, H];
+    source ids become ``l*V + src`` so one gather serves every type, and the
+    forward scatter runs over the shared target space [V]. The backward
+    scatter runs over the merged [L*V] row space (the gradient of table row
+    (l, u) sums exactly the type-l edges with source u). ``type_fwd`` /
+    ``type_bwd`` + absolute target ids let per-edge normalisation scales
+    (1/deg_l(tgt)) be gathered on device in either slot order.
+    """
+
+    __slots__ = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
+                 "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd")
+
+    def __init__(self, src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
+                 tgtabs_by_src, rel_src, src_blocks, type_bwd):
+        self.src_merged = src_merged
+        self.rel_tgt = rel_tgt
+        self.tgt_blocks = tgt_blocks
+        self.type_fwd = type_fwd
+        self.tgtabs_fwd = tgtabs_fwd
+        self.tgtabs_by_src = tgtabs_by_src
+        self.rel_src = rel_src
+        self.src_blocks = src_blocks
+        self.type_bwd = type_bwd
+
+    def astuple(self):
+        return (self.src_merged, self.rel_tgt, self.tgt_blocks, self.type_fwd,
+                self.tgtabs_fwd, self.tgtabs_by_src, self.rel_src,
+                self.src_blocks, self.type_bwd)
+
+
+def build_merged_plans(
+    sources_per_type,
+    targets_per_type,
+    counts_per_type,
+    num_nodes_padded: int,
+) -> MergedScatterPlan:
+    """Merged dual plan over all edge types (see MergedScatterPlan)."""
+    v = num_nodes_padded
+    num_types = len(sources_per_type)
+    srcs, tgts, types = [], [], []
+    for l in range(num_types):
+        c = int(counts_per_type[l])
+        srcs.append(np.asarray(sources_per_type[l][:c], dtype=np.int64) + l * v)
+        tgts.append(np.asarray(targets_per_type[l][:c], dtype=np.int64))
+        types.append(np.full((c,), l, dtype=np.int64))
+    all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
+    all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
+    all_type = np.concatenate(types) if types else np.zeros((0,), np.int64)
+    n = all_src.shape[0]
+    total_budget = sum(
+        int(np.asarray(sources_per_type[l]).shape[0]) for l in range(num_types)
+    )
+
+    c_fwd = plan_chunk_budget(total_budget, v)
+    perm_f, rel_tgt, tgt_blocks = plan_sorted_scatter(all_tgt, n, v, c_fwd)
+    src_merged = apply_plan_to_sources(all_src, perm_f, pad_source=0)
+    type_fwd = apply_plan_to_sources(all_type, perm_f, pad_source=0)
+    tgtabs_fwd = apply_plan_to_sources(all_tgt, perm_f, pad_source=0)
+
+    c_bwd = plan_chunk_budget(total_budget, num_types * v)
+    perm_b, rel_src, src_blocks = plan_sorted_scatter(
+        all_src, n, num_types * v, c_bwd
+    )
+    tgtabs_by_src = apply_plan_to_sources(all_tgt, perm_b, pad_source=0)
+    type_bwd = apply_plan_to_sources(all_type, perm_b, pad_source=0)
+    return MergedScatterPlan(src_merged, rel_tgt, tgt_blocks, type_fwd,
+                             tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks,
+                             type_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def typed_gather_scatter(
+    tables_flat: jnp.ndarray,   # [L*V, H] stacked per-type node tables
+    scale_fwd: jnp.ndarray,     # f32 [slots] per-slot edge weight (fwd order)
+    scale_bwd: jnp.ndarray,     # f32 [slots2] same weights in bwd slot order
+    src_merged: jnp.ndarray,
+    rel_tgt: jnp.ndarray,
+    tgt_blocks: jnp.ndarray,
+    type_fwd: jnp.ndarray,      # unused on device; part of the plan pytree
+    tgtabs_fwd: jnp.ndarray,    # unused on device
+    tgtabs_by_src: jnp.ndarray,
+    rel_src: jnp.ndarray,
+    src_blocks: jnp.ndarray,
+    num_nodes: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """One fused pass for ALL edge types:
+    ``out[v] = sum over edges e=(u -> v, type l) of scale_e * tables[l*V+u]``.
+    """
+    msgs = jnp.take(tables_flat, src_merged, axis=0, mode="clip")
+    return sorted_segment_sum_scaled(msgs, scale_fwd, rel_tgt, tgt_blocks,
+                                     num_nodes, interpret=interpret)
+
+
+def _tgs_fwd(tables_flat, scale_fwd, scale_bwd, src_merged, rel_tgt,
+             tgt_blocks, type_fwd, tgtabs_fwd, tgtabs_by_src, rel_src,
+             src_blocks, num_nodes, interpret):
+    out = typed_gather_scatter(tables_flat, scale_fwd, scale_bwd, src_merged,
+                               rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
+                               tgtabs_by_src, rel_src, src_blocks, num_nodes,
+                               interpret)
+    return out, (tables_flat.shape[0], scale_bwd, tgtabs_by_src, rel_src,
+                 src_blocks)
+
+
+def _tgs_bwd(num_nodes, interpret, res, g):
+    rows, scale_bwd, tgtabs_by_src, rel_src, src_blocks = res
+    g_msgs = jnp.take(g, tgtabs_by_src, axis=0, mode="clip")
+    d_tables = sorted_segment_sum_scaled(
+        g_msgs, scale_bwd, rel_src, src_blocks, rows, interpret=interpret
+    )
+    return (d_tables,) + (None,) * 10
+
+
+typed_gather_scatter.defvjp(_tgs_fwd, _tgs_bwd)
+
+
 def _feature_tile(h: int) -> int:
     for tile in (512, 384, 256, 128):
         if h % tile == 0:
@@ -193,6 +313,35 @@ def _scatter_kernel(block_ids_ref, rel_tgt_ref, msgs_ref, zeros_ref, out_ref):
     # accumulation stays f32 via preferred_element_type.
     one_hot = (rows == rel[None, :]).astype(msgs_ref.dtype)
     partial_sum = jnp.dot(one_hot, msgs_ref[:], preferred_element_type=jnp.float32)
+
+    prev = block_ids_ref[jnp.maximum(c - 1, 0)]
+    is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
+
+    @pl.when(is_first_visit)
+    def _():
+        out_ref[:, :] = partial_sum
+
+    @pl.when(jnp.logical_not(is_first_visit))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + partial_sum
+
+
+def _scaled_scatter_kernel(block_ids_ref, rel_tgt_ref, scale_ref, msgs_ref,
+                           zeros_ref, out_ref):
+    """Scatter with a per-edge scalar weight folded into the one-hot columns
+    (used to fold 1/deg normalisation into the aggregation)."""
+    del zeros_ref
+    c = pl.program_id(1)
+    rel = rel_tgt_ref[c % 8, :]
+    scale = scale_ref[c % 8, :]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
+    )
+    one_hot = (rows == rel[None, :]).astype(jnp.float32) * scale[None, :]
+    partial_sum = jnp.dot(
+        one_hot.astype(msgs_ref.dtype), msgs_ref[:],
+        preferred_element_type=jnp.float32,
+    )
 
     prev = block_ids_ref[jnp.maximum(c - 1, 0)]
     is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
@@ -256,6 +405,63 @@ def sorted_segment_sum(
         ),
         interpret=interpret,
     )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES), msgs, zeros)
+
+
+def sorted_segment_sum_scaled(
+    msgs: jnp.ndarray,       # [num_chunks * CHUNK_EDGES, H] chunk-ordered
+    scale: jnp.ndarray,      # f32 [num_chunks * CHUNK_EDGES] per-edge weight
+    rel_tgt: jnp.ndarray,
+    block_ids: jnp.ndarray,
+    num_nodes: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """Weighted scatter-add: out[v] = sum over slots targeting v of
+    scale[e] * msgs[e]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    slots, h = msgs.shape
+    num_chunks = slots // CHUNK_EDGES
+    if num_nodes % BLOCK_NODES != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of {BLOCK_NODES}.")
+    tile = _feature_tile(h)
+    h_tiles = h // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK_EDGES), lambda t, c, ids: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CHUNK_EDGES), lambda t, c, ids: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, tile), lambda t, c, ids: (c, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, tile), lambda t, c, ids: (ids[c], t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_NODES, tile),
+                               lambda t, c, ids: (ids[c], t),
+                               memory_space=pltpu.VMEM),
+    )
+    zeros = jnp.zeros((num_nodes, h), dtype=jnp.float32)
+    return pl.pallas_call(
+        _scaled_scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
+        input_output_aliases={4: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * slots * BLOCK_NODES * h,
+            bytes_accessed=slots * h * 4 + num_nodes * h * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        block_ids,
+        rel_tgt.reshape(num_chunks, CHUNK_EDGES),
+        scale.astype(jnp.float32).reshape(num_chunks, CHUNK_EDGES),
+        msgs,
+        zeros,
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8))
