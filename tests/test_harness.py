@@ -204,3 +204,18 @@ def test_gnn_input_library_embedding():
     out, _ = gnn.apply(variables, batch, False)
     assert out.shape == (batch.num_nodes_padded, 8)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_exact_resume_with_optimizer_state(tmp_path):
+    from tf2_gnn_tpu.harness.checkpoint import restore_opt_state
+
+    ds, model, params, state, batch = _trained_setup(tmp_path / "data")
+    ckpt = tmp_path / "model_best.pkl"
+    save_model(ckpt, model, params, ds, state.params,
+               opt_state=state.opt_state, step=int(state.step))
+    checkpoint = load_checkpoint_metadata(ckpt)
+    assert checkpoint["step"] == int(state.step)
+    restored = restore_opt_state(checkpoint, state.opt_state)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -73,8 +73,15 @@ def save_model(
     dataset: GraphDataset,
     params_tree,
     extra_metadata: Optional[Dict[str, Any]] = None,
+    opt_state=None,
+    step: Optional[int] = None,
 ) -> None:
-    """Persist model weights + everything needed to rebuild model/dataset."""
+    """Persist model weights + everything needed to rebuild model/dataset.
+
+    ``opt_state``/``step`` (optional) enable EXACT training resume — an
+    improvement over the reference, which restarts optimization from scratch
+    on restore (model_utils.py saves weights only, SURVEY.md §5.4).
+    """
     state_dict = serialization.to_state_dict(params_tree)
     data = {
         "model_class": type(model),
@@ -91,6 +98,12 @@ def save_model(
         },
         "weights": serialization.msgpack_serialize(state_dict),
     }
+    if opt_state is not None:
+        data["opt_state"] = serialization.msgpack_serialize(
+            serialization.to_state_dict(opt_state)
+        )
+    if step is not None:
+        data["step"] = int(step)
     if extra_metadata:
         data.update(extra_metadata)
     path = Path(path)
@@ -144,6 +157,16 @@ def restore_dataset(checkpoint: Dict[str, Any],
             )
         )
     return dataset
+
+
+def restore_opt_state(checkpoint: Dict[str, Any], template_opt_state):
+    """Restore optimizer state for exact resume, or None if not saved."""
+    blob = checkpoint.get("opt_state")
+    if blob is None:
+        return None
+    return serialization.from_state_dict(
+        template_opt_state, serialization.msgpack_restore(blob)
+    )
 
 
 def restore_model_and_params(

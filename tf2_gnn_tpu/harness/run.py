@@ -136,11 +136,29 @@ def run_train_from_args(
         state = state.replace(
             params=load_weights_verbosely(checkpoint, state.params, log=log)
         )
+    elif getattr(args, "load_saved_model", None):
+        # Full restore: weights + (if saved) optimizer state and step counter
+        # for exact resume — the reference restarts optimization (SURVEY §5.4).
+        from .checkpoint import restore_opt_state
+
+        checkpoint = load_checkpoint_metadata(args.load_saved_model)
+        state = state.replace(
+            params=load_weights_verbosely(checkpoint, state.params, log=log)
+        )
+        restored_opt = restore_opt_state(checkpoint, state.opt_state)
+        if restored_opt is not None:
+            state = state.replace(opt_state=restored_opt)
+        if "step" in checkpoint:
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.asarray(checkpoint["step"],
+                                                   dtype=jnp.int32))
 
     checkpoint_path = save_dir / f"{run_id}_best.pkl"
 
     def save_fun(s):
-        save_model(checkpoint_path, model, model_params, dataset, s.params)
+        save_model(checkpoint_path, model, model_params, dataset, s.params,
+                   opt_state=s.opt_state, step=int(s.step))
 
     from .metrics_log import MetricsLogger
 
