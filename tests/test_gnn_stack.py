@@ -144,3 +144,28 @@ def test_jit_matches_eager_full_stack():
     np.testing.assert_allclose(
         np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-5
     )
+
+
+def test_remat_matches_standard():
+    """jax.checkpoint-ed MP layers: identical outputs and gradients."""
+    batch = _make_batch()
+    hp = GNN.get_default_hyperparameters("rgcn")
+    hp.update({"hidden_dim": 8, "num_layers": 3})
+    gnn = GNN.from_params(hp)
+    hp_remat = dict(hp, use_remat=True)
+    gnn_remat = GNN.from_params(hp_remat)
+
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out_a, _ = gnn.apply(variables, batch, False)
+    out_b, _ = gnn_remat.apply(variables, batch, False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    def loss(g, v):
+        out, _ = g.apply(v, batch, False)
+        return jnp.sum(out * out)
+
+    g_a = jax.grad(lambda v: loss(gnn, v))(variables)
+    g_b = jax.grad(lambda v: loss(gnn_remat, v))(variables)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

@@ -40,6 +40,10 @@ class GNN(nn.Module):
     initial_node_representation_activation: str = "tanh"
     dense_intermediate_layer_activation: str = "tanh"
     layer_input_dropout_rate: float = 0.0
+    # Rematerialize each message-passing layer in the backward pass
+    # (jax.checkpoint): trades recompute for activation memory, the standard
+    # lever for deep stacks / giant graphs.
+    use_remat: bool = False
     global_exchange_mode: str = "gru"
     global_exchange_every_num_layers: int = 2
     global_exchange_weighting_fun: str = "softmax"
@@ -63,6 +67,7 @@ class GNN(nn.Module):
             "use_inter_layer_layernorm": False,
             "hidden_dim": 16,
             "layer_input_dropout_rate": 0.0,
+            "use_remat": False,
             "global_exchange_mode": "gru",
             "global_exchange_every_num_layers": 2,
             "global_exchange_weighting_fun": "softmax",
@@ -133,7 +138,12 @@ class GNN(nn.Module):
                 last = tmp
 
             # Message passing (one unshared layer per depth).
-            cur = mp_class.from_params(mp_params, name=f"mp_layer_{layer_idx}")(
+            layer_cls = (
+                nn.remat(mp_class, static_argnums=(2,))
+                if self.use_remat
+                else mp_class
+            )
+            cur = layer_cls.from_params(mp_params, name=f"mp_layer_{layer_idx}")(
                 cur, batch, training
             )
             # Intermediate representations are captured *before*
