@@ -35,7 +35,7 @@ def test_pallas_batches_carry_plans_and_aligned_nodes(tmp_path):
     ds = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
     assert batch.scatter_plans is not None
-    assert len(batch.scatter_plans) == 9  # MergedScatterPlan.astuple()
+    assert len(batch.scatter_plans) == 13  # MergedScatterPlan.astuple()
     assert batch.num_nodes_padded % BLOCK_NODES == 0
 
 
@@ -78,33 +78,56 @@ def test_fused_path_matches_standard(tmp_path, flavour):
                                    atol=1e-4)
 
 
-def test_film_and_rgat_ignore_plans(tmp_path):
+@pytest.mark.parametrize("flavour", ["gnn_film", "rgat"])
+def test_film_and_rgat_fused_match_standard(tmp_path, flavour):
+    """FiLM and RGAT now run fused paths too; outputs and gradients match."""
     ds_fused = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
-    for flavour in ("gnn_film", "rgat"):
-        hp = GNN.get_default_hyperparameters(flavour)
-        hp.update({"hidden_dim": 9 if flavour == "rgat" else 8, "num_layers": 2})
-        gnn = GNN.from_params(hp)
-        variables = gnn.init(jax.random.PRNGKey(0), batch, False)
-        out_with, _ = gnn.apply(variables, batch, False)
-        out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None),
-                                   False)
-        np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
-                                   atol=1e-6)
+    hp = GNN.get_default_hyperparameters(flavour)
+    hp.update({"hidden_dim": 9 if flavour == "rgat" else 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out_with, _ = gnn.apply(variables, batch, False)
+    out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None),
+                               False)
+    np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_with = jax.grad(loss)(variables, batch)
+    g_without = jax.grad(loss)(variables, batch.replace(scatter_plans=None))
+    for a, b in zip(jax.tree.leaves(g_with), jax.tree.leaves(g_without)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
 
 
-def test_edge_mlp_with_target_state_bypasses_fused(tmp_path):
+def test_edge_mlp_with_target_state_fused_matches(tmp_path):
+    """0-hidden-layer target-state edge MLP runs the fused gather pair."""
     ds_fused = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
     hp = GNN.get_default_hyperparameters("gnn_edge_mlp")
-    hp.update({"hidden_dim": 8, "num_layers": 1})
+    hp.update({"hidden_dim": 8, "num_layers": 2,
+               "num_edge_MLP_hidden_layers": 0})
     assert hp["use_target_state_as_input"] is True
     gnn = GNN.from_params(hp)
     variables = gnn.init(jax.random.PRNGKey(0), batch, False)
     out_with, _ = gnn.apply(variables, batch, False)
     out_without, _ = gnn.apply(variables, batch.replace(scatter_plans=None), False)
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
-                               atol=1e-6)
+                               rtol=1e-4, atol=1e-4)
+
+    # The default 1-hidden-layer form keeps per-edge typed matmuls and must
+    # bypass the fused path (identical results either way).
+    hp2 = GNN.get_default_hyperparameters("gnn_edge_mlp")
+    hp2.update({"hidden_dim": 8, "num_layers": 1})
+    gnn2 = GNN.from_params(hp2)
+    v2 = gnn2.init(jax.random.PRNGKey(0), batch, False)
+    a, _ = gnn2.apply(v2, batch, False)
+    b, _ = gnn2.apply(v2, batch.replace(scatter_plans=None), False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_bf16_edge_dtype_close_to_f32(tmp_path):

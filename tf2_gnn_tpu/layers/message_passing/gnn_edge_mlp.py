@@ -120,24 +120,30 @@ class GNN_Edge_MLP(MessagePassing):
             ]
         return messages
 
-    def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
-        """Fused Pallas path (ops/spmm_pallas.py) for pure source-gather
-        messages: msg_e = MLP_l(h_src). ONE gather over the stacked
-        [L*V, H] node-space table + ONE MXU scatter covers every edge type,
-        with the per-edge 1/deg_l(tgt) normalisation folded into the
-        kernel's one-hot columns."""
-        if (
+    def _fused_plan_applicable(self, batch: GraphBatch) -> bool:
+        return not (
             batch.scatter_plans is None
             or batch.spmd_axis is not None
-            or self.use_target_state_as_input
             or self.aggregation_function != "sum"
             or (self._apply_message_activation
                 and self.message_activation_before_aggregation)
-        ):
-            return None
-        from ...ops.spmm_pallas import typed_gather_scatter
+        )
+
+    def _fused_normalisation_scales(self, batch: GraphBatch, plan):
+        """Per-slot 1/deg_l(tgt) scales in forward and backward slot order."""
         from ...utils.constants import SMALL_NUMBER
 
+        v = batch.num_nodes_padded
+        deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
+        inv = 1.0 / (deg_flat + SMALL_NUMBER)  # [L*V]
+        scale_fwd = jnp.take(inv, plan.type_fwd * v + plan.tgtabs_fwd,
+                             mode="clip")
+        scale_bwd = jnp.take(inv, plan.type_bwd * v + plan.tgtabs_by_src,
+                             mode="clip")
+        return scale_fwd, scale_bwd
+
+    def _fused_node_space_tables(self, node_states, batch: GraphBatch):
+        """The per-type message MLP run densely in node space -> [L*V, H]."""
         num_types = batch.num_edge_types
         layer_sizes = self._edge_mlp_layer_sizes()
         num_hidden = self.num_edge_MLP_hidden_layers
@@ -148,23 +154,71 @@ class GNN_Edge_MLP(MessagePassing):
             )(hidden)
             if i < num_hidden:
                 hidden = jax.nn.relu(hidden)
-
-        (src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
-         tgtabs_by_src, rel_src, src_blocks, type_bwd) = batch.scatter_plans
-        v = batch.num_nodes_padded
-        if self.normalize_by_num_incoming:
-            deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
-            inv = 1.0 / (deg_flat + SMALL_NUMBER)  # [L*V]
-            scale_fwd = jnp.take(inv, type_fwd * v + tgtabs_fwd, mode="clip")
-            scale_bwd = jnp.take(inv, type_bwd * v + tgtabs_by_src, mode="clip")
-        else:
-            scale_fwd = jnp.ones(src_merged.shape, dtype=jnp.float32)
-            scale_bwd = jnp.ones(rel_src.shape, dtype=jnp.float32)
-
-        tables = hidden.reshape(num_types * v, -1)
+        tables = hidden.reshape(num_types * batch.num_nodes_padded, -1)
         if self.edge_dtype != "float32":
             tables = tables.astype(self.edge_dtype)
-        return typed_gather_scatter(
-            tables, scale_fwd, scale_bwd, src_merged, rel_tgt, tgt_blocks,
-            type_fwd, tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks, v,
+        return tables
+
+    def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
+        """Fused Pallas path (ops/spmm_pallas.py). ONE gather over the
+        stacked [L*V, H] node-space tables + ONE MXU scatter covers every
+        edge type; the per-edge 1/deg_l(tgt) normalisation folds into the
+        kernel's one-hot columns. The target-state variant gathers the
+        target half per edge through the merged-target plan ordering."""
+        if not self._fused_plan_applicable(batch):
+            return None
+        from ...ops.spmm_pallas import (
+            PlanView,
+            plan_gather_mtgt,
+            plan_gather_src,
+            plan_scatter,
+            typed_gather_scatter,
         )
+
+        plan = PlanView(batch.scatter_plans)
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+
+        if not self.use_target_state_as_input:
+            tables = self._fused_node_space_tables(node_states, batch)
+            if self.normalize_by_num_incoming:
+                scale_fwd, scale_bwd = self._fused_normalisation_scales(
+                    batch, plan
+                )
+            else:
+                scale_fwd = jnp.ones(plan.src_merged.shape, dtype=jnp.float32)
+                scale_bwd = jnp.ones(plan.rel_src.shape, dtype=jnp.float32)
+            return typed_gather_scatter(
+                tables, scale_fwd, scale_bwd, plan.src_merged, plan.rel_tgt,
+                plan.tgt_blocks, plan.type_fwd, plan.tgtabs_fwd,
+                plan.tgtabs_by_src, plan.rel_src, plan.src_blocks, v,
+            )
+
+        # Target-state input: only the 0-hidden-layer form keeps the per-edge
+        # math free of per-type matmuls (msg = W_src h_u + W_tgt h_v).
+        if self.num_edge_MLP_hidden_layers != 0:
+            return None
+        in_dim = node_states.shape[-1]
+        src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_src_0")(node_states)
+        tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_tgt_0")(node_states)
+        src_flat = src_half.reshape(num_types * v, -1)
+        tgt_flat = tgt_half.reshape(num_types * v, -1)
+        if self.edge_dtype != "float32":
+            src_flat = src_flat.astype(self.edge_dtype)
+            tgt_flat = tgt_flat.astype(self.edge_dtype)
+
+        msgs = plan_gather_src(
+            src_flat, plan.src_merged, plan.rel_src, plan.src_blocks,
+            plan.bwd_to_fwd_slot, num_types * v,
+        ) + plan_gather_mtgt(
+            tgt_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,
+            plan.mtgt_blocks, plan.mtgt_to_fwd_slot, num_types * v,
+        )
+        msgs = msgs.astype(jnp.float32)
+        if self.normalize_by_num_incoming:
+            scale_fwd, _ = self._fused_normalisation_scales(batch, plan)
+            msgs = msgs * scale_fwd[:, None]
+        return plan_scatter(msgs, plan.rel_tgt, plan.tgt_blocks,
+                            plan.tgtabs_fwd, v)

@@ -42,9 +42,61 @@ class GNN_FiLM(GNN_Edge_MLP):
         return params
 
     def _fused_sum_aggregate(self, node_states, batch, training):
-        # FiLM messages are modulated per edge by the target state — not a
-        # pure source gather, so the fused path does not apply.
-        return None
+        """Fused FiLM: message tables AND FiLM parameter tables are both
+        pointwise in node space; per edge one source gather + one
+        (merged-target-plan) target gather + the gamma*msg+beta fuse in XLA,
+        then the sorted MXU scatter."""
+        if not self._fused_plan_applicable(batch) or self.use_target_state_as_input:
+            return None
+        from ...ops.spmm_pallas import (
+            PlanView,
+            plan_gather_mtgt,
+            plan_gather_src,
+            plan_scatter,
+        )
+
+        plan = PlanView(batch.scatter_plans)
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+
+        msg_tables = self._fused_node_space_tables(node_states, batch)  # [LV,H]
+
+        # FiLM parameter MLP in node space -> [L, V, 2H] -> [LV, 2H].
+        film = node_states
+        sizes = list(self.film_parameter_MLP_hidden_layers) + [2 * self.hidden_dim]
+        num_hidden = len(sizes) - 1
+        for i, size in enumerate(sizes):
+            film = TypedLinear(
+                num_types, film.shape[-1], size, name=f"film_mlp_layer_{i}"
+            )(film)
+            if i < num_hidden:
+                film = jax.nn.relu(film)
+        film_flat = film.reshape(num_types * v, -1)
+        if self.edge_dtype != "float32":
+            film_flat = film_flat.astype(self.edge_dtype)
+
+        msgs = plan_gather_src(
+            msg_tables, plan.src_merged, plan.rel_src, plan.src_blocks,
+            plan.bwd_to_fwd_slot, num_types * v,
+        ).astype(jnp.float32)
+        film_g = plan_gather_mtgt(
+            film_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,
+            plan.mtgt_blocks, plan.mtgt_to_fwd_slot, num_types * v,
+        ).astype(jnp.float32)
+
+        if self.normalize_by_num_incoming:
+            scale_fwd, _ = self._fused_normalisation_scales(batch, plan)
+            msgs = msgs * scale_fwd[:, None]
+        # Modulation wraps the (normalised) message (reference
+        # gnn_film.py:83-108).
+        gamma = film_g[:, : self.hidden_dim]
+        beta = film_g[:, self.hidden_dim:]
+        weighted = gamma * msgs + beta
+        # Sentinel slots carry garbage beta; zero them so they never reach the
+        # scatter with a non-zero value... the one-hot drops them anyway, but
+        # keep the stream clean for the f32 accumulate.
+        return plan_scatter(weighted, plan.rel_tgt, plan.tgt_blocks,
+                            plan.tgtabs_fwd, v)
 
     def _compute_messages_per_type(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool

@@ -34,6 +34,87 @@ class RGAT(MessagePassing):
         params.update({"num_heads": 3})
         return params
 
+    def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
+        """Fused RGAT: the SDDMM collapses to two node-space score tables, so
+        per edge the path is ONE bundled source gather (transformed states +
+        source score halves), one merged-target gather of the target halves,
+        an XLA segment softmax over absolute targets, and the sorted MXU
+        scatter of the attention-weighted messages."""
+        if (
+            batch.scatter_plans is None
+            or batch.spmd_axis is not None
+            or self.aggregation_function != "sum"
+            or self.message_activation_before_aggregation
+        ):
+            return None
+        from ...ops.segment import segment_log_softmax
+        from ...ops.spmm_pallas import (
+            BLOCK_NODES,
+            PlanView,
+            plan_gather_mtgt,
+            plan_gather_src,
+            plan_scatter,
+        )
+
+        plan = PlanView(batch.scatter_plans)
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+        heads = self.num_heads
+        head_dim = self.hidden_dim // heads
+
+        transformed = TypedLinear(
+            num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights"
+        )(node_states)  # [L, V, H]
+        attention_params = self.param(
+            "edge_attention_parameters",
+            nn.initializers.glorot_uniform(batch_axis=(0,)),
+            (num_types, heads, 2 * head_dim),
+        )
+        per_head = transformed.reshape(num_types, v, heads, head_dim)
+        src_scores = jnp.einsum(
+            "lvkd,lkd->lvk", per_head, attention_params[:, :, :head_dim]
+        )
+        tgt_scores = jnp.einsum(
+            "lvkd,lkd->lvk", per_head, attention_params[:, :, head_dim:]
+        )
+
+        # One bundled source gather: [LV, H + K].
+        src_bundle = jnp.concatenate(
+            [transformed.reshape(num_types * v, self.hidden_dim),
+             src_scores.reshape(num_types * v, heads)],
+            axis=1,
+        )
+        if self.edge_dtype != "float32":
+            src_bundle = src_bundle.astype(self.edge_dtype)
+        bundle_g = plan_gather_src(
+            src_bundle, plan.src_merged, plan.rel_src, plan.src_blocks,
+            plan.bwd_to_fwd_slot, num_types * v,
+        ).astype(jnp.float32)
+        msgs = bundle_g[:, : self.hidden_dim]
+        src_score_g = bundle_g[:, self.hidden_dim:]
+
+        tgt_score_g = plan_gather_mtgt(
+            tgt_scores.reshape(num_types * v, heads),
+            plan.type_fwd * v + plan.tgtabs_fwd,
+            plan.rel_mtgt, plan.mtgt_blocks, plan.mtgt_to_fwd_slot,
+            num_types * v,
+        )
+
+        logits = jax.nn.leaky_relu(src_score_g + tgt_score_g,
+                                   negative_slope=0.2)  # [slots, K]
+        # Sentinel slots must not contribute to any target's softmax mass.
+        sentinel = plan.rel_tgt >= BLOCK_NODES
+        logits = jnp.where(sentinel[:, None], -1e9, logits)
+        attention = jnp.exp(
+            segment_log_softmax(logits, plan.tgtabs_fwd, v)
+        )  # [slots, K]
+
+        weighted = (
+            attention[:, :, None] * msgs.reshape(-1, heads, head_dim)
+        ).reshape(-1, self.hidden_dim)
+        return plan_scatter(weighted, plan.rel_tgt, plan.tgt_blocks,
+                            plan.tgtabs_fwd, v)
+
     def _compute_messages_per_type(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool
     ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:

@@ -22,7 +22,8 @@ def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
     """Micro-averaged F1 over real nodes (reference micro_f1,
     node_multiclass_task.py:10-23, with padding masked out). In SPMD mode the
     TP/FP/FN counts are psum-ed over the mesh axis before the ratio."""
-    predicted = jnp.round(jax.nn.sigmoid(logits)) * mask[:, None]
+    # round(sigmoid(x)) == (x > 0), exactly — skip the transcendental.
+    predicted = (logits > 0.0).astype(logits.dtype) * mask[:, None]
     labels = labels * mask[:, None]
     true_pos = jnp.sum(predicted * labels)
     false_pos = jnp.sum(predicted * (1.0 - labels) * mask[:, None])

@@ -186,10 +186,13 @@ class MergedScatterPlan:
     """
 
     __slots__ = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
-                 "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd")
+                 "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
+                 "bwd_to_fwd_slot", "rel_mtgt", "mtgt_blocks",
+                 "mtgt_to_fwd_slot")
 
     def __init__(self, src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
-                 tgtabs_by_src, rel_src, src_blocks, type_bwd):
+                 tgtabs_by_src, rel_src, src_blocks, type_bwd, bwd_to_fwd_slot,
+                 rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot):
         self.src_merged = src_merged
         self.rel_tgt = rel_tgt
         self.tgt_blocks = tgt_blocks
@@ -199,11 +202,23 @@ class MergedScatterPlan:
         self.rel_src = rel_src
         self.src_blocks = src_blocks
         self.type_bwd = type_bwd
+        # For each backward (source-sorted) slot: the forward slot holding the
+        # same edge (slots sentinel -> points at a fwd sentinel slot). Lets
+        # gather cotangents be re-ordered into backward slot order so the
+        # gradient scatter also runs the sorted Pallas kernel.
+        self.bwd_to_fwd_slot = bwd_to_fwd_slot
+        # Third ordering: edges chunked by MERGED target (l*V + tgt). Backs
+        # the gradient of per-edge-type TARGET gathers (FiLM modulation,
+        # edge-MLP target-state input, RGAT target attention halves).
+        self.rel_mtgt = rel_mtgt
+        self.mtgt_blocks = mtgt_blocks
+        self.mtgt_to_fwd_slot = mtgt_to_fwd_slot
 
     def astuple(self):
         return (self.src_merged, self.rel_tgt, self.tgt_blocks, self.type_fwd,
                 self.tgtabs_fwd, self.tgtabs_by_src, self.rel_src,
-                self.src_blocks, self.type_bwd)
+                self.src_blocks, self.type_bwd, self.bwd_to_fwd_slot,
+                self.rel_mtgt, self.mtgt_blocks, self.mtgt_to_fwd_slot)
 
 
 def build_merged_plans(
@@ -241,9 +256,28 @@ def build_merged_plans(
     )
     tgtabs_by_src = apply_plan_to_sources(all_tgt, perm_b, pad_source=0)
     type_bwd = apply_plan_to_sources(all_type, perm_b, pad_source=0)
+
+    # Forward slot index of each edge, then re-ordered into backward slots.
+    fwd_slot_of_edge = np.zeros((max(n, 1),), dtype=np.int64)
+    valid_f = perm_f >= 0
+    fwd_slot_of_edge[perm_f[valid_f]] = np.nonzero(valid_f)[0]
+    sentinel_fwd = int(np.nonzero(~valid_f)[0][0]) if (~valid_f).any() else 0
+    bwd_to_fwd_slot = np.full(perm_b.shape, sentinel_fwd, dtype=np.int32)
+    valid_b = perm_b >= 0
+    bwd_to_fwd_slot[valid_b] = fwd_slot_of_edge[perm_b[valid_b]]
+
+    # Third ordering: merged-target (l*V + tgt) chunking.
+    all_mtgt = all_type * v + all_tgt
+    perm_m, rel_mtgt, mtgt_blocks = plan_sorted_scatter(
+        all_mtgt, n, num_types * v, c_bwd
+    )
+    mtgt_to_fwd_slot = np.full(perm_m.shape, sentinel_fwd, dtype=np.int32)
+    valid_m = perm_m >= 0
+    mtgt_to_fwd_slot[valid_m] = fwd_slot_of_edge[perm_m[valid_m]]
     return MergedScatterPlan(src_merged, rel_tgt, tgt_blocks, type_fwd,
                              tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks,
-                             type_bwd)
+                             type_bwd, bwd_to_fwd_slot,
+                             rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(11, 12))
@@ -510,3 +544,102 @@ def _gss_bwd(num_nodes, interpret, res, g):
 
 
 gather_scatter_sorted.defvjp(_gss_fwd, _gss_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Generic plan-based primitives: every message-passing flavour composes from
+# these three (gather-by-source, gather-by-target, scatter-to-target), each
+# with a sorted Pallas kernel on BOTH sides of autodiff. Elementwise per-edge
+# math (FiLM modulation, attention weighting, MLP layers over edge rows)
+# happens between them in plain XLA, which fuses it into the gather outputs.
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def plan_gather_src(tables_flat, src_merged, rel_src, src_blocks,
+                    bwd_to_fwd_slot, rows: int, interpret=None):
+    """msgs[slot] = tables_flat[src_merged[slot]] with a sorted-kernel
+    gradient (cotangents re-ordered into source-sorted slots)."""
+    return jnp.take(tables_flat, src_merged, axis=0, mode="clip")
+
+
+def _pgs_fwd(tables_flat, src_merged, rel_src, src_blocks, bwd_to_fwd_slot,
+             rows, interpret):
+    out = plan_gather_src(tables_flat, src_merged, rel_src, src_blocks,
+                          bwd_to_fwd_slot, rows, interpret)
+    return out, (rel_src, src_blocks, bwd_to_fwd_slot)
+
+
+def _pgs_bwd(rows, interpret, res, g):
+    rel_src, src_blocks, bwd_to_fwd_slot = res
+    g_b = jnp.take(g, bwd_to_fwd_slot, axis=0, mode="clip")
+    g_b = jnp.where((rel_src >= BLOCK_NODES)[:, None], 0.0, g_b)
+    d_tables = sorted_segment_sum(g_b, rel_src, src_blocks, rows,
+                                  interpret=interpret)
+    return d_tables, None, None, None, None
+
+
+plan_gather_src.defvjp(_pgs_fwd, _pgs_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def plan_gather_mtgt(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks,
+                     mtgt_to_fwd_slot, rows: int, interpret=None):
+    """Per-edge-type TARGET gather: vals[slot] = tables_flat[l*V + tgt] with a
+    sorted-kernel gradient over the merged-target ordering."""
+    return jnp.take(tables_flat, mtgt_merged, axis=0, mode="clip")
+
+
+def _pgm_fwd(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot,
+             rows, interpret):
+    out = plan_gather_mtgt(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks,
+                           mtgt_to_fwd_slot, rows, interpret)
+    return out, (rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot)
+
+
+def _pgm_bwd(rows, interpret, res, g):
+    rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot = res
+    g_m = jnp.take(g, mtgt_to_fwd_slot, axis=0, mode="clip")
+    g_m = jnp.where((rel_mtgt >= BLOCK_NODES)[:, None], 0.0, g_m)
+    d_tables = sorted_segment_sum(g_m, rel_mtgt, mtgt_blocks, rows,
+                                  interpret=interpret)
+    return d_tables, None, None, None, None
+
+
+plan_gather_mtgt.defvjp(_pgm_fwd, _pgm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def plan_scatter(weighted, rel_tgt, tgt_blocks, tgtabs_fwd, num_nodes: int,
+                 interpret=None):
+    """out[v] = sum over slots targeting v of weighted[slot] (Pallas sorted
+    kernel); gradient is a plain gather by absolute target."""
+    return sorted_segment_sum(weighted, rel_tgt, tgt_blocks, num_nodes,
+                              interpret=interpret)
+
+
+def _ps_fwd(weighted, rel_tgt, tgt_blocks, tgtabs_fwd, num_nodes, interpret):
+    out = plan_scatter(weighted, rel_tgt, tgt_blocks, tgtabs_fwd, num_nodes,
+                       interpret)
+    return out, (rel_tgt, tgtabs_fwd)
+
+
+def _ps_bwd(num_nodes, interpret, res, g):
+    rel_tgt, tgtabs_fwd = res
+    d_weighted = jnp.take(g, tgtabs_fwd, axis=0, mode="clip")
+    d_weighted = jnp.where((rel_tgt >= BLOCK_NODES)[:, None], 0.0, d_weighted)
+    return d_weighted, None, None, None
+
+
+plan_scatter.defvjp(_ps_fwd, _ps_bwd)
+
+
+PLAN_FIELDS = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
+               "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
+               "bwd_to_fwd_slot", "rel_mtgt", "mtgt_blocks", "mtgt_to_fwd_slot")
+
+
+class PlanView:
+    """Attribute view over a GraphBatch.scatter_plans tuple."""
+
+    def __init__(self, plan_tuple):
+        for name, value in zip(PLAN_FIELDS, plan_tuple):
+            setattr(self, name, value)
