@@ -219,3 +219,39 @@ def test_exact_resume_with_optimizer_state(tmp_path):
     assert restored is not None
     for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_ppi_shipped_config_end_to_end(tmp_path):
+    """PPI task through the shipped PPI_RGCN config (Pallas path enabled)."""
+    from .synthetic_data import write_ppi_dataset
+    from tf2_gnn_tpu.harness.run import (
+        get_train_cli_arg_parser,
+        run_train_from_args,
+        test_model,
+    )
+
+    data_dir = tmp_path / "ppi"
+    write_ppi_dataset(data_dir)
+    parser = get_train_cli_arg_parser()
+    args, _ = parser.parse_known_args(
+        [
+            "RGCN", "PPI", str(data_dir),
+            "--save-dir", str(tmp_path / "runs"),
+            "--max-epochs", "1",
+            "--run-name", "ppi_smoke",
+            "--model-params-override",
+            json.dumps({"gnn_hidden_dim": 8, "gnn_num_layers": 2}),
+            "--data-params-override",
+            json.dumps({"max_nodes_per_batch": 64}),
+        ]
+    )
+    ckpt = run_train_from_args(args, {})
+    assert ckpt.exists()
+    metric = test_model(ckpt, data_dir)
+    assert np.isfinite(metric)
+    # The shipped config turned the Pallas plans on.
+    import pickle
+
+    with open(ckpt, "rb") as f:
+        saved = pickle.load(f)
+    assert saved["dataset_params"]["use_pallas_spmm"] is True

@@ -162,6 +162,12 @@ def run_train_from_args(
 
     from .metrics_log import MetricsLogger
 
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     with MetricsLogger(save_dir / f"{run_id}_metrics.jsonl", run_id) as mlog:
         mlog.log("run_start", model=args.model, task=args.task, seed=seed)
         state, best_metric = train_loop(
@@ -178,6 +184,11 @@ def run_train_from_args(
             metrics_logger=mlog,
         )
         mlog.log("run_end", best_valid_metric=float(best_metric))
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        log(f"Profiler trace written to {profile_dir}.")
     log(f"Best validation metric: {best_metric:.5f} "
         f"(checkpoint {checkpoint_path}).")
 
@@ -250,6 +261,10 @@ def get_train_cli_arg_parser() -> argparse.ArgumentParser:
                         help="Checkpoint whose weights initialise a fresh run.")
     parser.add_argument("--run-test", action="store_true",
                         help="Evaluate the best checkpoint on TEST after training.")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the training run "
+                             "into this directory (view with "
+                             "TensorBoard/XProf).")
     parser.add_argument("--quiet", action="store_true", default=False)
     parser.add_argument("--debug", action="store_true", default=False,
                         help="Drop into pdb post-mortem on exceptions.")

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ...data.graph_batch import GraphBatch
-from ...ops.segment import gather_rows
 from .base import (
     MessagePassing,
     calculate_type_to_num_incoming_edges,

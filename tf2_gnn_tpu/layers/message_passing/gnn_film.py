@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from ...data.graph_batch import GraphBatch
-from ...ops.segment import gather_rows
 from .base import register_message_passing_implementation
 from .gnn_edge_mlp import GNN_Edge_MLP
 from .typed_linear import TypedLinear

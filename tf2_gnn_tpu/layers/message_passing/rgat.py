@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ...data.graph_batch import GraphBatch
 from ...ops.activations import get_activation_function
-from ...ops.segment import gather_rows, segment_log_softmax, segment_sum
+from ...ops.segment import segment_log_softmax, segment_sum
 from .base import MessagePassing, register_message_passing_implementation
 from .typed_linear import TypedLinear
 
