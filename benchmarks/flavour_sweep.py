@@ -34,6 +34,8 @@ def run_flavour(flavour: str, use_pallas: bool) -> dict:
     )
     if flavour == "gnn_edge_mlp":
         params["gnn_num_edge_MLP_hidden_layers"] = 0  # shipped-config form
+    if flavour == "rgat":
+        params["gnn_num_heads"] = 4  # 320 % 4 == 0 (shipped PPI_RGAT value)
     model = NodeMulticlassTask.from_params(params)
 
     batch, labels, edges = bench.build_batch(0, use_pallas=use_pallas)

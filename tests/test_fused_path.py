@@ -84,7 +84,8 @@ def test_film_and_rgat_fused_match_standard(tmp_path, flavour):
     ds_fused = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
     hp = GNN.get_default_hyperparameters(flavour)
-    hp.update({"hidden_dim": 9 if flavour == "rgat" else 8, "num_layers": 2})
+    hp.update({"hidden_dim": 9 if flavour == "rgat" else 8, "num_layers": 2,
+               "fused_target_gather": True})
     gnn = GNN.from_params(hp)
     variables = gnn.init(jax.random.PRNGKey(0), batch, False)
     out_with, _ = gnn.apply(variables, batch, False)
@@ -110,7 +111,8 @@ def test_edge_mlp_with_target_state_fused_matches(tmp_path):
     batch, _ = next(ds_fused.batch_iterator(DataFold.VALIDATION))
     hp = GNN.get_default_hyperparameters("gnn_edge_mlp")
     hp.update({"hidden_dim": 8, "num_layers": 2,
-               "num_edge_MLP_hidden_layers": 0})
+               "num_edge_MLP_hidden_layers": 0,
+               "fused_target_gather": True})
     assert hp["use_target_state_as_input"] is True
     gnn = GNN.from_params(hp)
     variables = gnn.init(jax.random.PRNGKey(0), batch, False)

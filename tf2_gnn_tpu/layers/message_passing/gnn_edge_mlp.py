@@ -35,6 +35,11 @@ class GNN_Edge_MLP(MessagePassing):
     use_target_state_as_input: bool = True
     normalize_by_num_incoming: bool = False
     num_edge_MLP_hidden_layers: int = 1
+    # The fused path for target-state messages needs a second per-edge gather
+    # whose backward runs over the merged [L*V] row space; measured on v5e it
+    # LOSES to the XLA path for H=320 streams (flavour_sweep.py), so it is
+    # opt-in until the target-gather kernel is optimised.
+    fused_target_gather: bool = False
 
     @classmethod
     def get_default_hyperparameters(cls) -> Dict[str, Any]:
@@ -44,6 +49,7 @@ class GNN_Edge_MLP(MessagePassing):
                 "use_target_state_as_input": True,
                 "normalize_by_num_incoming": False,
                 "num_edge_MLP_hidden_layers": 1,
+                "fused_target_gather": False,
             }
         )
         return params
@@ -195,7 +201,7 @@ class GNN_Edge_MLP(MessagePassing):
 
         # Target-state input: only the 0-hidden-layer form keeps the per-edge
         # math free of per-type matmuls (msg = W_src h_u + W_tgt h_v).
-        if self.num_edge_MLP_hidden_layers != 0:
+        if self.num_edge_MLP_hidden_layers != 0 or not self.fused_target_gather:
             return None
         in_dim = node_states.shape[-1]
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,

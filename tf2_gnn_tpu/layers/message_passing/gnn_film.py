@@ -45,7 +45,9 @@ class GNN_FiLM(GNN_Edge_MLP):
         pointwise in node space; per edge one source gather + one
         (merged-target-plan) target gather + the gamma*msg+beta fuse in XLA,
         then the sorted MXU scatter."""
-        if not self._fused_plan_applicable(batch) or self.use_target_state_as_input:
+        if (not self._fused_plan_applicable(batch)
+                or self.use_target_state_as_input
+                or not self.fused_target_gather):
             return None
         from ...ops.spmm_pallas import (
             PlanView,
