@@ -114,3 +114,29 @@ def test_plan_block_ids_non_decreasing():
     num_chunks = plan_chunk_budget(5000, 640)
     _, _, block_ids = plan_sorted_scatter(tgt, 5000, 640, num_chunks)
     assert np.all(np.diff(block_ids) >= 0)
+
+
+def test_sorted_segment_max_matches_xla():
+    v, k, num_edges = 384, 4, 3000
+    rng = np.random.RandomState(5)
+    tgt = rng.randint(0, v, num_edges).astype(np.int32)
+    vals = rng.randn(num_edges, k).astype(np.float32)
+    num_chunks = plan_chunk_budget(num_edges, v)
+    perm, rel_tgt, block_ids = plan_sorted_scatter(tgt, num_edges, v, num_chunks)
+    slots = num_chunks * CHUNK_EDGES
+    vals_chunked = np.full((slots, k), -50.0, dtype=np.float32)
+    valid = perm >= 0
+    vals_chunked[valid] = vals[perm[valid]]
+
+    from tf2_gnn_tpu.ops.spmm_pallas import sorted_segment_max
+
+    out = np.asarray(sorted_segment_max(
+        jnp.asarray(vals_chunked), jnp.asarray(rel_tgt), jnp.asarray(block_ids),
+        v, True,
+    ))
+    expected = np.asarray(jax.ops.segment_max(
+        jnp.asarray(vals), jnp.asarray(tgt), num_segments=v))
+    counts = np.bincount(tgt, minlength=v)
+    expected = np.where(np.isfinite(expected), expected, 0.0)
+    expected[counts == 0] = 0.0
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)

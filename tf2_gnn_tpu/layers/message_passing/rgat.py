@@ -102,11 +102,28 @@ class RGAT(MessagePassing):
 
         logits = jax.nn.leaky_relu(src_score_g + tgt_score_g,
                                    negative_slope=0.2)  # [slots, K]
-        # Sentinel slots must not contribute to any target's softmax mass.
+        # Per-(target, head) softmax over all edge types jointly (reference
+        # rgat.py:139-151), entirely on the sorted chunk structure: the
+        # per-segment max runs the Pallas max kernel (stop-gradient — the
+        # stabiliser's true gradient is zero), the exp-sum runs the sorted
+        # scatter with its gather-transpose VJP. Sentinel slots are excluded
+        # by the kernels' one-hot; their exp is zeroed for the sum.
+        from ...ops.spmm_pallas import plan_scatter as _plan_scatter
+        from ...ops.spmm_pallas import sorted_segment_max
+        from ...utils.constants import SMALL_NUMBER
+
         sentinel = plan.rel_tgt >= BLOCK_NODES
-        logits = jnp.where(sentinel[:, None], -1e9, logits)
-        attention = jnp.exp(
-            segment_log_softmax(logits, plan.tgtabs_fwd, v)
+        # stop_gradient on the INPUT: the kernel has no AD rules, and with
+        # tangent-free operands JAX treats the call as a constant.
+        maxes = sorted_segment_max(
+            jax.lax.stop_gradient(logits), plan.rel_tgt, plan.tgt_blocks, v
+        )  # [V, K]
+        shifted = logits - jnp.take(maxes, plan.tgtabs_fwd, axis=0, mode="clip")
+        expd = jnp.where(sentinel[:, None], 0.0, jnp.exp(shifted))
+        denom = _plan_scatter(expd, plan.rel_tgt, plan.tgt_blocks,
+                              plan.tgtabs_fwd, v)  # [V, K]
+        attention = expd / (
+            jnp.take(denom, plan.tgtabs_fwd, axis=0, mode="clip") + SMALL_NUMBER
         )  # [slots, K]
 
         weighted = (

@@ -643,3 +643,84 @@ class PlanView:
     def __init__(self, plan_tuple):
         for name, value in zip(PLAN_FIELDS, plan_tuple):
             setattr(self, name, value)
+
+
+def _segment_max_kernel(block_ids_ref, rel_tgt_ref, vals_ref, neg_ref, out_ref):
+    """Per-node-block max over chunk edges (VPU select + reduce).
+
+    Same chunk/block structure as the scatter kernel, with max as the
+    combiner: out[v, k] = max over slots targeting v of vals[slot, k].
+    Unvisited rows keep the aliased -inf fill (wrapper converts to 0).
+    """
+    del neg_ref
+    c = pl.program_id(1)
+    rel = rel_tgt_ref[c % 8, :]  # [CHUNK_EDGES]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
+    )
+    one_hot = rows == rel[None, :]  # bool [BN, CE]
+    vals = vals_ref[:]  # [CE, K]
+    # Per-head 2D select+reduce (Mosaic rejects the 3D narrow-minor-dim
+    # broadcast); K is small and static.
+    k = vals.shape[1]
+    cols = []
+    for h in range(k):
+        sel = jnp.where(one_hot, vals[:, h][None, :], -jnp.inf)  # [BN, CE]
+        cols.append(jnp.max(sel, axis=1))  # [BN]
+    partial_max = jnp.stack(cols, axis=1)  # [BN, K]
+
+    prev = block_ids_ref[jnp.maximum(c - 1, 0)]
+    is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
+
+    @pl.when(is_first_visit)
+    def _():
+        out_ref[:, :] = partial_max
+
+    @pl.when(jnp.logical_not(is_first_visit))
+    def _():
+        out_ref[:, :] = jnp.maximum(out_ref[:, :], partial_max)
+
+
+def sorted_segment_max(
+    vals: jnp.ndarray,       # [slots, K] chunk-ordered values
+    rel_tgt: jnp.ndarray,
+    block_ids: jnp.ndarray,
+    num_nodes: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """Per-target max of chunk-ordered values; empty targets give 0.
+
+    Forward-only (callers stop-gradient the result — it backs softmax
+    stabilisation, whose true gradient contribution is zero).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    slots, k = vals.shape
+    num_chunks = slots // CHUNK_EDGES
+    if num_nodes % BLOCK_NODES != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of {BLOCK_NODES}.")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, num_chunks),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK_EDGES), lambda t, c, ids: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, k), lambda t, c, ids: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, k), lambda t, c, ids: (ids[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_NODES, k), lambda t, c, ids: (ids[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    fill = jnp.full((num_nodes, k), -jnp.inf, dtype=jnp.float32)
+    out = pl.pallas_call(
+        _segment_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, k), jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES),
+      vals.astype(jnp.float32), fill)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
