@@ -18,6 +18,11 @@ from .data_parallel import (
     shard_batches,
     stack_batches,
 )
+from .hybrid import (
+    make_hybrid_mesh,
+    make_hybrid_train_step,
+    stack_partitioned_batches,
+)
 from .spmd import (
     make_spmd_eval_step,
     make_spmd_forward,
@@ -28,11 +33,14 @@ from .spmd import (
 __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
+    "make_hybrid_mesh",
+    "make_hybrid_train_step",
     "make_mesh",
     "make_spmd_eval_step",
     "make_spmd_forward",
     "make_spmd_train_step",
     "partition_graph",
     "shard_batches",
+    "stack_partitioned_batches",
     "stack_batches",
 ]
