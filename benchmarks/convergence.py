@@ -26,7 +26,7 @@ FEATURE_DIM = 32
 class SyntheticNeighbourhoodDataset(GraphDataset):
     """Graphs with labels determined by neighbour feature-block means."""
 
-    def __init__(self, params, num_graphs=30, nodes_per_graph=200, seed=0):
+    def __init__(self, params, num_graphs=200, nodes_per_graph=200, seed=0):
         super().__init__(params)
         rng = np.random.RandomState(seed)
         self._folds = {DataFold.TRAIN: [], DataFold.VALIDATION: []}
@@ -109,9 +109,9 @@ def main():
     f1s = []
 
     def log(msg):
-        if "MicroF1" in msg:
-            f1 = float(msg.split("MicroF1:")[1].split(".\n")[0].strip(" ."))
-            f1s.append(f1)
+        if "MicroF1" in msg and "Valid" in msg or msg.startswith("Initial"):
+            token = msg.split("MicroF1:")[1].split("|")[0]
+            f1s.append(float(token.strip(" .\n")))
         print(msg, flush=True)
 
     train_loop(model, state, train_step, eval_step, ds,

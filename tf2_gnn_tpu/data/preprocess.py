@@ -29,7 +29,13 @@ def _as_edge_array(edges) -> np.ndarray:
 def get_tied_edge_types(
     tie_fwd_bkwd_edges: Union[bool, List[int]], num_fwd_edge_types: int
 ) -> Set[int]:
-    """Forward edge types whose backward edges reuse the forward type id."""
+    """Forward edge types whose backward edges reuse the forward type id.
+
+    >>> sorted(get_tied_edge_types(True, 3))
+    [0, 1, 2]
+    >>> get_tied_edge_types([1], 3)
+    {1}
+    """
     if isinstance(tie_fwd_bkwd_edges, list):
         return set(tie_fwd_bkwd_edges)
     if tie_fwd_bkwd_edges:
@@ -68,6 +74,16 @@ def process_adjacency_lists(
     """Add backward edges and optional self loops; compute per-type in-degrees.
 
     Returns (list of int32 [E,2] arrays, float [L, num_nodes] in-degree table).
+
+    >>> adj, deg = process_adjacency_lists(
+    ...     [[(0, 1), (1, 2)]], 3, add_self_loop_edges=True,
+    ...     tied_fwd_bkwd_edge_types={0})
+    >>> adj[0].tolist()  # self loops inserted as type 0
+    [[0, 0], [1, 1], [2, 2]]
+    >>> adj[1].tolist()  # forward + tied backward edges
+    [[0, 1], [1, 2], [1, 0], [2, 1]]
+    >>> deg[1].tolist()
+    [1.0, 2.0, 1.0]
     """
     typed_edges = [_as_edge_array(adj) for adj in adjacency_lists]
     typed_edges = _add_backward_edges(typed_edges, tied_fwd_bkwd_edge_types)

@@ -29,6 +29,11 @@ def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
     the segments are global (e.g. per-graph readouts of a node-partitioned
     graph), the partial per-shard sums are psum-ed over ICI so every shard
     holds the replicated global result.
+
+    >>> import jax.numpy as jnp
+    >>> segment_sum(jnp.asarray([[1.0], [2.0], [4.0]]),
+    ...             jnp.asarray([0, 0, 1]), 3).ravel().tolist()
+    [3.0, 4.0, 0.0]
     """
     out = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     if spmd_axis is not None:
