@@ -38,8 +38,12 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
                 edges = np.stack(
                     [rng.randint(0, n, 8 * n), rng.randint(0, n, 8 * n)], axis=1
                 ).astype(np.int32)
+                # Self loops are load-bearing: without them a second MP
+                # layer replaces each node's own 1-hop aggregate with pure
+                # 2-hop information and the 1-hop rule becomes unrecoverable
+                # (exactly why the reference datasets default them on).
                 adjacency, indeg = process_adjacency_lists(
-                    [edges], n, add_self_loop_edges=False,
+                    [edges], n, add_self_loop_edges=True,
                     tied_fwd_bkwd_edge_types=set(),
                 )
                 # Label bit c: mean over in-neighbours of feature block c > 0.
@@ -58,7 +62,7 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
 
     @property
     def num_edge_types(self):
-        return 2
+        return 3  # self loops + fwd + bkwd
 
     @property
     def node_feature_shape(self):
