@@ -66,6 +66,9 @@ class GraphBatch:
     # with padded slots pointing at the local discard row (index
     # num_nodes_padded), and graph-level segment reductions psum over the axis.
     spmd_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    # Number of shards on the spmd axis (static; set by the partitioner).
+    # Needed to reshape all_gather-ed node tables to their global row count.
+    spmd_num_shards: Optional[int] = struct.field(pytree_node=False, default=None)
     # Optional merged dual scatter plan covering ALL edge types for the
     # Pallas sorted-segment SpMM kernel (ops/spmm_pallas.py
     # MergedScatterPlan.astuple() — 9 int32 arrays). Built by the batcher

@@ -174,6 +174,25 @@ class MessagePassing(nn.Module):
         fused Pallas gather/scatter path, or None when not applicable."""
         return None
 
+    @staticmethod
+    def _globalize_tables(tables_flat: jnp.ndarray, batch: GraphBatch,
+                          num_types: int) -> jnp.ndarray:
+        """SPMD halo exchange for the fused path: all_gather the per-type
+        node tables over the mesh axis so the plans' GLOBAL merged source ids
+        resolve ([L*Vp, ...] local -> [L*Vp*S, ...] global). The transpose
+        (reduce-scatter of the kernel-produced global gradient) rides ICI
+        automatically. Identity off-SPMD."""
+        if batch.spmd_axis is None:
+            return tables_flat
+        import jax as _jax
+
+        v = batch.num_nodes_padded
+        per_type = tables_flat.reshape(num_types, v, -1)
+        gathered = _jax.lax.all_gather(
+            per_type, batch.spmd_axis, axis=1, tiled=True
+        )  # [L, Vp*S, ...]
+        return gathered.reshape(num_types * v * batch.spmd_num_shards, -1)
+
     # ------------------------------------------------------------------ entry
     @nn.compact
     def __call__(

@@ -128,7 +128,7 @@ class GNN_Edge_MLP(MessagePassing):
     def _fused_plan_applicable(self, batch: GraphBatch) -> bool:
         return not (
             batch.scatter_plans is None
-            or batch.spmd_axis is not None
+            or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or (self._apply_message_activation
                 and self.message_activation_before_aggregation)
@@ -185,7 +185,10 @@ class GNN_Edge_MLP(MessagePassing):
         v = batch.num_nodes_padded
 
         if not self.use_target_state_as_input:
-            tables = self._fused_node_space_tables(node_states, batch)
+            tables = self._globalize_tables(
+                self._fused_node_space_tables(node_states, batch), batch,
+                num_types,
+            )
             if self.normalize_by_num_incoming:
                 scale_fwd, scale_bwd = self._fused_normalisation_scales(
                     batch, plan
@@ -214,9 +217,10 @@ class GNN_Edge_MLP(MessagePassing):
             src_flat = src_flat.astype(self.edge_dtype)
             tgt_flat = tgt_flat.astype(self.edge_dtype)
 
+        src_flat = self._globalize_tables(src_flat, batch, num_types)
         msgs = plan_gather_src(
             src_flat, plan.src_merged, plan.rel_src, plan.src_blocks,
-            plan.bwd_to_fwd_slot, num_types * v,
+            plan.bwd_to_fwd_slot, src_flat.shape[0],
         ) + plan_gather_mtgt(
             tgt_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,
             plan.mtgt_blocks, plan.mtgt_to_fwd_slot, num_types * v,

@@ -76,9 +76,10 @@ class GNN_FiLM(GNN_Edge_MLP):
         if self.edge_dtype != "float32":
             film_flat = film_flat.astype(self.edge_dtype)
 
+        msg_tables = self._globalize_tables(msg_tables, batch, num_types)
         msgs = plan_gather_src(
             msg_tables, plan.src_merged, plan.rel_src, plan.src_blocks,
-            plan.bwd_to_fwd_slot, num_types * v,
+            plan.bwd_to_fwd_slot, msg_tables.shape[0],
         ).astype(jnp.float32)
         film_g = plan_gather_mtgt(
             film_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,

@@ -42,7 +42,7 @@ class RGAT(MessagePassing):
         scatter of the attention-weighted messages."""
         if (
             batch.scatter_plans is None
-            or batch.spmd_axis is not None
+            or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or self.message_activation_before_aggregation
         ):
@@ -86,9 +86,10 @@ class RGAT(MessagePassing):
         )
         if self.edge_dtype != "float32":
             src_bundle = src_bundle.astype(self.edge_dtype)
+        src_bundle = self._globalize_tables(src_bundle, batch, num_types)
         bundle_g = plan_gather_src(
             src_bundle, plan.src_merged, plan.rel_src, plan.src_blocks,
-            plan.bwd_to_fwd_slot, num_types * v,
+            plan.bwd_to_fwd_slot, src_bundle.shape[0],
         ).astype(jnp.float32)
         msgs = bundle_g[:, : self.hidden_dim]
         src_score_g = bundle_g[:, self.hidden_dim:]

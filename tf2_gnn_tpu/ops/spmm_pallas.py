@@ -226,14 +226,25 @@ def build_merged_plans(
     targets_per_type,
     counts_per_type,
     num_nodes_padded: int,
+    src_space: int = None,
 ) -> MergedScatterPlan:
-    """Merged dual plan over all edge types (see MergedScatterPlan)."""
+    """Merged dual plan over all edge types (see MergedScatterPlan).
+
+    ``src_space``: row count of ONE type's source table (defaults to the
+    local padded node count). Under SPMD node partitioning sources are
+    GLOBAL ids while targets are local, so the source row space is the
+    all-gathered global table's per-type row count.
+    """
     v = num_nodes_padded
+    if src_space is None:
+        src_space = v
     num_types = len(sources_per_type)
     srcs, tgts, types = [], [], []
     for l in range(num_types):
         c = int(counts_per_type[l])
-        srcs.append(np.asarray(sources_per_type[l][:c], dtype=np.int64) + l * v)
+        srcs.append(
+            np.asarray(sources_per_type[l][:c], dtype=np.int64) + l * src_space
+        )
         tgts.append(np.asarray(targets_per_type[l][:c], dtype=np.int64))
         types.append(np.full((c,), l, dtype=np.int64))
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
@@ -250,9 +261,9 @@ def build_merged_plans(
     type_fwd = apply_plan_to_sources(all_type, perm_f, pad_source=0)
     tgtabs_fwd = apply_plan_to_sources(all_tgt, perm_f, pad_source=0)
 
-    c_bwd = plan_chunk_budget(total_budget, num_types * v)
+    c_bwd = plan_chunk_budget(total_budget, num_types * src_space)
     perm_b, rel_src, src_blocks = plan_sorted_scatter(
-        all_src, n, num_types * v, c_bwd
+        all_src, n, num_types * src_space, c_bwd
     )
     tgtabs_by_src = apply_plan_to_sources(all_tgt, perm_b, pad_source=0)
     type_bwd = apply_plan_to_sources(all_type, perm_b, pad_source=0)
@@ -266,10 +277,11 @@ def build_merged_plans(
     valid_b = perm_b >= 0
     bwd_to_fwd_slot[valid_b] = fwd_slot_of_edge[perm_b[valid_b]]
 
-    # Third ordering: merged-target (l*V + tgt) chunking.
+    # Third ordering: merged-target (l*V + tgt) chunking (local row space).
     all_mtgt = all_type * v + all_tgt
+    c_mtgt = plan_chunk_budget(total_budget, num_types * v)
     perm_m, rel_mtgt, mtgt_blocks = plan_sorted_scatter(
-        all_mtgt, n, num_types * v, c_bwd
+        all_mtgt, n, num_types * v, c_mtgt
     )
     mtgt_to_fwd_slot = np.full(perm_m.shape, sentinel_fwd, dtype=np.int32)
     valid_m = perm_m >= 0

@@ -48,6 +48,7 @@ def partition_graph(
     node_labels: Optional[Dict[str, np.ndarray]] = None,
     graph_labels: Optional[Dict[str, np.ndarray]] = None,
     num_graphs_padded: Optional[int] = None,
+    build_scatter_plans: bool = False,
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
 
@@ -57,6 +58,11 @@ def partition_graph(
     to the target's owning shard, with padded slots -> the discard row.
     """
     num_nodes = node_features.shape[0]
+    if build_scatter_plans:
+        # The Pallas kernels tile node rows in BLOCK_NODES blocks.
+        from ..ops.spmm_pallas import BLOCK_NODES
+
+        node_alignment = max(node_alignment, BLOCK_NODES)
     nodes_per_shard = _round_up(
         int(math.ceil(num_nodes / num_shards)), node_alignment
     )
@@ -118,6 +124,27 @@ def partition_graph(
                 targets[t][s, :count] = e[:, 1] - lo
             num_edges[s, t] = count
 
+    scatter_plans = None
+    if build_scatter_plans:
+        from ..ops.spmm_pallas import build_merged_plans
+
+        global_rows = nodes_per_shard * num_shards
+        per_shard_plans = []
+        for s_ in range(num_shards):
+            plan = build_merged_plans(
+                [sources[t][s_] for t in range(num_types)],
+                [targets[t][s_] for t in range(num_types)],
+                [int(num_edges[s_, t]) for t in range(num_types)],
+                nodes_per_shard,
+                src_space=global_rows,
+            )
+            per_shard_plans.append(plan.astuple())
+        # Stack each plan array across shards (leading mesh axis).
+        scatter_plans = tuple(
+            np.stack([p[i] for p in per_shard_plans], axis=0)
+            for i in range(len(per_shard_plans[0]))
+        )
+
     batch = GraphBatch(
         node_features=features,
         edge_sources=tuple(sources),
@@ -128,6 +155,8 @@ def partition_graph(
         num_graphs=np.full((num_shards,), num_graphs, dtype=np.int32),
         num_graphs_padded=num_graphs_padded,
         spmd_axis=axis_name,
+        spmd_num_shards=num_shards,
+        scatter_plans=scatter_plans,
     )
 
     labels: Dict[str, np.ndarray] = {}
