@@ -55,6 +55,7 @@ def run_at(n_devices, nodes_per_device, edges_per_device, hidden, layers, steps)
     batch, batch_labels = partition_graph(
         nf, adjacency, node_to_graph, num_graphs=1, num_shards=n_devices,
         num_graphs_padded=2, node_labels={"node_labels": labels},
+        build_scatter_plans=True,
     )
     template = jax.tree.map(lambda x: x[0], batch).replace(spmd_axis=None)
     state = create_train_state(model, template, optimizer, seed=0)
