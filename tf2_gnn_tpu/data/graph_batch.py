@@ -71,7 +71,7 @@ class GraphBatch:
     spmd_num_shards: Optional[int] = struct.field(pytree_node=False, default=None)
     # Optional merged dual scatter plan covering ALL edge types for the
     # Pallas sorted-segment SpMM kernel (ops/spmm_pallas.py
-    # MergedScatterPlan.astuple() — 9 int32 arrays). Built by the batcher
+    # MergedScatterPlan.astuple() — 10 int32 arrays). Built by the batcher
     # when the dataset enables ``use_pallas_spmm``.
     scatter_plans: Optional[Tuple[jnp.ndarray, ...]] = None
 

@@ -174,8 +174,8 @@ class GNN_Edge_MLP(MessagePassing):
             return None
         from ...ops.spmm_pallas import (
             PlanView,
-            plan_gather_mtgt,
             plan_gather_src,
+            plan_gather_tgt_typed,
             plan_scatter,
             typed_gather_scatter,
         )
@@ -212,18 +212,21 @@ class GNN_Edge_MLP(MessagePassing):
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_tgt_0")(node_states)
         src_flat = src_half.reshape(num_types * v, -1)
-        tgt_flat = tgt_half.reshape(num_types * v, -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
-            tgt_flat = tgt_flat.astype(self.edge_dtype)
 
         src_flat = self._globalize_tables(src_flat, batch, num_types)
+        # Target half in TYPE-MINOR layout: the gradient scatter reuses the
+        # forward plan (see plan_gather_tgt_typed).
+        tgt_tl = tgt_half.transpose(1, 0, 2).reshape(v * num_types, -1)
+        if self.edge_dtype != "float32":
+            tgt_tl = tgt_tl.astype(self.edge_dtype)
         msgs = plan_gather_src(
             src_flat, plan.src_merged, plan.rel_src, plan.src_blocks,
             plan.bwd_to_fwd_slot, src_flat.shape[0],
-        ) + plan_gather_mtgt(
-            tgt_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,
-            plan.mtgt_blocks, plan.mtgt_to_fwd_slot, num_types * v,
+        ) + plan_gather_tgt_typed(
+            tgt_tl, plan.type_fwd, plan.tgtabs_fwd, plan.rel_tgt,
+            plan.tgt_blocks, num_types,
         )
         msgs = msgs.astype(jnp.float32)
         if self.normalize_by_num_incoming:

@@ -51,8 +51,8 @@ class GNN_FiLM(GNN_Edge_MLP):
             return None
         from ...ops.spmm_pallas import (
             PlanView,
-            plan_gather_mtgt,
             plan_gather_src,
+            plan_gather_tgt_typed,
             plan_scatter,
         )
 
@@ -72,18 +72,19 @@ class GNN_FiLM(GNN_Edge_MLP):
             )(film)
             if i < num_hidden:
                 film = jax.nn.relu(film)
-        film_flat = film.reshape(num_types * v, -1)
+        # Type-minor layout so the gradient scatter reuses the forward plan.
+        film_tl = film.transpose(1, 0, 2).reshape(v * num_types, -1)
         if self.edge_dtype != "float32":
-            film_flat = film_flat.astype(self.edge_dtype)
+            film_tl = film_tl.astype(self.edge_dtype)
 
         msg_tables = self._globalize_tables(msg_tables, batch, num_types)
         msgs = plan_gather_src(
             msg_tables, plan.src_merged, plan.rel_src, plan.src_blocks,
             plan.bwd_to_fwd_slot, msg_tables.shape[0],
         ).astype(jnp.float32)
-        film_g = plan_gather_mtgt(
-            film_flat, plan.type_fwd * v + plan.tgtabs_fwd, plan.rel_mtgt,
-            plan.mtgt_blocks, plan.mtgt_to_fwd_slot, num_types * v,
+        film_g = plan_gather_tgt_typed(
+            film_tl, plan.type_fwd, plan.tgtabs_fwd, plan.rel_tgt,
+            plan.tgt_blocks, num_types,
         ).astype(jnp.float32)
 
         if self.normalize_by_num_incoming:

@@ -51,8 +51,8 @@ class RGAT(MessagePassing):
         from ...ops.spmm_pallas import (
             BLOCK_NODES,
             PlanView,
-            plan_gather_mtgt,
             plan_gather_src,
+            plan_gather_tgt_typed,
             plan_scatter,
         )
 
@@ -94,11 +94,10 @@ class RGAT(MessagePassing):
         msgs = bundle_g[:, : self.hidden_dim]
         src_score_g = bundle_g[:, self.hidden_dim:]
 
-        tgt_score_g = plan_gather_mtgt(
-            tgt_scores.reshape(num_types * v, heads),
-            plan.type_fwd * v + plan.tgtabs_fwd,
-            plan.rel_mtgt, plan.mtgt_blocks, plan.mtgt_to_fwd_slot,
-            num_types * v,
+        tgt_score_g = plan_gather_tgt_typed(
+            tgt_scores.transpose(1, 0, 2).reshape(v * num_types, heads),
+            plan.type_fwd, plan.tgtabs_fwd, plan.rel_tgt, plan.tgt_blocks,
+            num_types,
         )
 
         logits = jax.nn.leaky_relu(src_score_g + tgt_score_g,

@@ -187,12 +187,10 @@ class MergedScatterPlan:
 
     __slots__ = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
                  "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
-                 "bwd_to_fwd_slot", "rel_mtgt", "mtgt_blocks",
-                 "mtgt_to_fwd_slot")
+                 "bwd_to_fwd_slot")
 
     def __init__(self, src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
-                 tgtabs_by_src, rel_src, src_blocks, type_bwd, bwd_to_fwd_slot,
-                 rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot):
+                 tgtabs_by_src, rel_src, src_blocks, type_bwd, bwd_to_fwd_slot):
         self.src_merged = src_merged
         self.rel_tgt = rel_tgt
         self.tgt_blocks = tgt_blocks
@@ -207,18 +205,11 @@ class MergedScatterPlan:
         # gather cotangents be re-ordered into backward slot order so the
         # gradient scatter also runs the sorted Pallas kernel.
         self.bwd_to_fwd_slot = bwd_to_fwd_slot
-        # Third ordering: edges chunked by MERGED target (l*V + tgt). Backs
-        # the gradient of per-edge-type TARGET gathers (FiLM modulation,
-        # edge-MLP target-state input, RGAT target attention halves).
-        self.rel_mtgt = rel_mtgt
-        self.mtgt_blocks = mtgt_blocks
-        self.mtgt_to_fwd_slot = mtgt_to_fwd_slot
 
     def astuple(self):
         return (self.src_merged, self.rel_tgt, self.tgt_blocks, self.type_fwd,
                 self.tgtabs_fwd, self.tgtabs_by_src, self.rel_src,
-                self.src_blocks, self.type_bwd, self.bwd_to_fwd_slot,
-                self.rel_mtgt, self.mtgt_blocks, self.mtgt_to_fwd_slot)
+                self.src_blocks, self.type_bwd, self.bwd_to_fwd_slot)
 
 
 def build_merged_plans(
@@ -276,20 +267,9 @@ def build_merged_plans(
     bwd_to_fwd_slot = np.full(perm_b.shape, sentinel_fwd, dtype=np.int32)
     valid_b = perm_b >= 0
     bwd_to_fwd_slot[valid_b] = fwd_slot_of_edge[perm_b[valid_b]]
-
-    # Third ordering: merged-target (l*V + tgt) chunking (local row space).
-    all_mtgt = all_type * v + all_tgt
-    c_mtgt = plan_chunk_budget(total_budget, num_types * v)
-    perm_m, rel_mtgt, mtgt_blocks = plan_sorted_scatter(
-        all_mtgt, n, num_types * v, c_mtgt
-    )
-    mtgt_to_fwd_slot = np.full(perm_m.shape, sentinel_fwd, dtype=np.int32)
-    valid_m = perm_m >= 0
-    mtgt_to_fwd_slot[valid_m] = fwd_slot_of_edge[perm_m[valid_m]]
     return MergedScatterPlan(src_merged, rel_tgt, tgt_blocks, type_fwd,
                              tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks,
-                             type_bwd, bwd_to_fwd_slot,
-                             rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot)
+                             type_bwd, bwd_to_fwd_slot)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(11, 12))
@@ -405,22 +385,49 @@ def sorted_segment_sum(
     msgs: jnp.ndarray,       # [num_chunks * CHUNK_EDGES, H] chunk-ordered
     rel_tgt: jnp.ndarray,    # int32 [num_chunks * CHUNK_EDGES]
     block_ids: jnp.ndarray,  # int32 [num_chunks], non-decreasing
-    num_nodes: int,          # padded node count (multiple of BLOCK_NODES)
+    num_nodes: int,          # padded row count (multiple of block_rows)
     interpret=None,
+    block_rows: int = None,
 ) -> jnp.ndarray:
     """Scatter-add chunk-ordered messages into [num_nodes, H] on the MXU.
 
     ``interpret=None`` auto-selects the Pallas interpreter off-TPU (tests on
-    the virtual CPU mesh run the same code path).
+    the virtual CPU mesh run the same code path). ``block_rows`` overrides the
+    output block height (default BLOCK_NODES); rel values must lie in
+    [0, block_rows) with >= block_rows as sentinel — used by the type-minor
+    target-gather transpose where a node block expands to BLOCK_NODES*L rows.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_rows is None:
+        block_rows = BLOCK_NODES
     slots, h = msgs.shape
     num_chunks = slots // CHUNK_EDGES
-    if num_nodes % BLOCK_NODES != 0:
-        raise ValueError(f"num_nodes {num_nodes} not a multiple of {BLOCK_NODES}.")
+    if num_nodes % block_rows != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of {block_rows}.")
     tile = _feature_tile(h)
     h_tiles = h // tile
+
+    def kernel(block_ids_ref, rel_tgt_ref, msgs_ref, zeros_ref, out_ref):
+        del zeros_ref
+        c = pl.program_id(1)
+        rel = rel_tgt_ref[c % 8, :]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, CHUNK_EDGES), 0
+        )
+        one_hot = (rows == rel[None, :]).astype(msgs_ref.dtype)
+        partial_sum = jnp.dot(one_hot, msgs_ref[:],
+                              preferred_element_type=jnp.float32)
+        prev = block_ids_ref[jnp.maximum(c - 1, 0)]
+        is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
+
+        @pl.when(is_first_visit)
+        def _():
+            out_ref[:, :] = partial_sum
+
+        @pl.when(jnp.logical_not(is_first_visit))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + partial_sum
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_ids
@@ -430,22 +437,22 @@ def sorted_segment_sum(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK_EDGES, tile), lambda t, c, ids: (c, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_NODES, tile), lambda t, c, ids: (ids[c], t),
+            pl.BlockSpec((block_rows, tile), lambda t, c, ids: (ids[c], t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_NODES, tile),
+        out_specs=pl.BlockSpec((block_rows, tile),
                                lambda t, c, ids: (ids[c], t),
                                memory_space=pltpu.VMEM),
     )
     zeros = jnp.zeros((num_nodes, h), dtype=jnp.float32)
     return pl.pallas_call(
-        _scatter_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
         input_output_aliases={3: 0},  # zeros buffer -> out (indices include
                                       # the scalar-prefetch operand)
         cost_estimate=pl.CostEstimate(
-            flops=2 * slots * BLOCK_NODES * h,
+            flops=2 * slots * block_rows * h,
             bytes_accessed=slots * h * 4 + num_nodes * h * 4,
             transcendentals=0,
         ),
@@ -592,32 +599,6 @@ def _pgs_bwd(rows, interpret, res, g):
 plan_gather_src.defvjp(_pgs_fwd, _pgs_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def plan_gather_mtgt(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks,
-                     mtgt_to_fwd_slot, rows: int, interpret=None):
-    """Per-edge-type TARGET gather: vals[slot] = tables_flat[l*V + tgt] with a
-    sorted-kernel gradient over the merged-target ordering."""
-    return jnp.take(tables_flat, mtgt_merged, axis=0, mode="clip")
-
-
-def _pgm_fwd(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot,
-             rows, interpret):
-    out = plan_gather_mtgt(tables_flat, mtgt_merged, rel_mtgt, mtgt_blocks,
-                           mtgt_to_fwd_slot, rows, interpret)
-    return out, (rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot)
-
-
-def _pgm_bwd(rows, interpret, res, g):
-    rel_mtgt, mtgt_blocks, mtgt_to_fwd_slot = res
-    g_m = jnp.take(g, mtgt_to_fwd_slot, axis=0, mode="clip")
-    g_m = jnp.where((rel_mtgt >= BLOCK_NODES)[:, None], 0.0, g_m)
-    d_tables = sorted_segment_sum(g_m, rel_mtgt, mtgt_blocks, rows,
-                                  interpret=interpret)
-    return d_tables, None, None, None, None
-
-
-plan_gather_mtgt.defvjp(_pgm_fwd, _pgm_bwd)
-
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def plan_scatter(weighted, rel_tgt, tgt_blocks, tgtabs_fwd, num_nodes: int,
@@ -646,7 +627,7 @@ plan_scatter.defvjp(_ps_fwd, _ps_bwd)
 
 PLAN_FIELDS = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
                "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
-               "bwd_to_fwd_slot", "rel_mtgt", "mtgt_blocks", "mtgt_to_fwd_slot")
+               "bwd_to_fwd_slot")
 
 
 class PlanView:
@@ -736,3 +717,42 @@ def sorted_segment_max(
     )(block_ids, rel_tgt.reshape(num_chunks, CHUNK_EDGES),
       vals.astype(jnp.float32), fill)
     return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def plan_gather_tgt_typed(table_tl: jnp.ndarray, type_fwd: jnp.ndarray,
+                          tgtabs_fwd: jnp.ndarray, rel_tgt: jnp.ndarray,
+                          tgt_blocks: jnp.ndarray, num_types: int,
+                          interpret=None):
+    """Per-edge-type TARGET gather over a TYPE-MINOR table [V*L, F]
+    (row = tgt*L + l).
+
+    With type-minor layout the merged target ids of a forward chunk stay
+    inside ONE expanded node block of BLOCK_NODES*L rows, so the gradient
+    scatter reuses the FORWARD plan directly (rel' = rel*L + type, same
+    block_ids) — no third plan ordering and no cotangent permutation. This is
+    what makes FiLM / target-state-input fused paths competitive.
+    """
+    return jnp.take(table_tl, tgtabs_fwd * num_types + type_fwd, axis=0,
+                    mode="clip")
+
+
+def _pgtt_fwd(table_tl, type_fwd, tgtabs_fwd, rel_tgt, tgt_blocks, num_types,
+              interpret):
+    out = plan_gather_tgt_typed(table_tl, type_fwd, tgtabs_fwd, rel_tgt,
+                                tgt_blocks, num_types, interpret)
+    return out, (table_tl.shape[0], type_fwd, rel_tgt, tgt_blocks)
+
+
+def _pgtt_bwd(num_types, interpret, res, g):
+    rows, type_fwd, rel_tgt, tgt_blocks = res
+    block = BLOCK_NODES * num_types
+    sentinel = rel_tgt >= BLOCK_NODES
+    rel_typed = jnp.where(sentinel, block, rel_tgt * num_types + type_fwd)
+    g = jnp.where(sentinel[:, None], 0.0, g)
+    d_table = sorted_segment_sum(g, rel_typed, tgt_blocks, rows,
+                                 interpret=interpret, block_rows=block)
+    return d_table, None, None, None, None
+
+
+plan_gather_tgt_typed.defvjp(_pgtt_fwd, _pgtt_bwd)
