@@ -146,3 +146,31 @@ def test_bf16_edge_dtype_close_to_f32(tmp_path):
     assert np.asarray(out16).dtype == np.float32  # f32 accumulation
     np.testing.assert_allclose(np.asarray(out32), np.asarray(out16),
                                rtol=0.05, atol=0.05)
+
+
+def test_fused_path_with_empty_edge_type(tmp_path):
+    """A type with zero real edges (all-sentinel chunks) must aggregate to 0."""
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update(
+        {
+            "num_fwd_edge_types": 2,       # second fwd type never populated
+            "tie_fwd_bkwd_edges": True,
+            "max_nodes_per_batch": 40,
+            "use_pallas_spmm": True,
+        }
+    )
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert int(np.asarray(batch.num_edges)[-1]) == 0  # empty type exists
+
+    hp = GNN.get_default_hyperparameters("rgcn")
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out_fused, _ = gnn.apply(variables, batch, False)
+    out_plain, _ = gnn.apply(variables, batch.replace(scatter_plans=None), False)
+    assert np.all(np.isfinite(np.asarray(out_fused)))
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-5)

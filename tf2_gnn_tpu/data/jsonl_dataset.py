@@ -91,8 +91,20 @@ class JsonLGraphDataset(GraphDataset):
 
     def _process_raw_datapoint(self, datapoint: Dict[str, Any]) -> GraphSample:
         node_features = np.asarray(datapoint["graph"]["node_features"], dtype=np.float32)
+        raw_lists = list(datapoint["graph"]["adjacency_lists"])
+        if len(raw_lists) > self._num_fwd_edge_types:
+            raise ValueError(
+                f"Datapoint has {len(raw_lists)} adjacency lists but the "
+                f"dataset is configured for {self._num_fwd_edge_types} forward "
+                f"edge types."
+            )
+        # Datapoints may omit trailing edge types that happen to be empty in
+        # this graph; pad them so the type count stays consistent.
+        raw_lists += [np.zeros((0, 2), dtype=np.int32)] * (
+            self._num_fwd_edge_types - len(raw_lists)
+        )
         adjacency_lists, type_to_num_incoming = process_adjacency_lists(
-            adjacency_lists=datapoint["graph"]["adjacency_lists"],
+            adjacency_lists=raw_lists,
             num_nodes=len(node_features),
             add_self_loop_edges=self.params["add_self_loop_edges"],
             tied_fwd_bkwd_edge_types=self._tied_fwd_bkwd_edge_types,

@@ -37,8 +37,12 @@ class JsonLGraphPropertyDataset(JsonLGraphDataset):
 
     def _process_raw_datapoint(self, datapoint: Dict[str, Any]) -> GraphWithPropertySample:
         node_features = np.asarray(datapoint["graph"]["node_features"], dtype=np.float32)
+        raw_lists = list(datapoint["graph"]["adjacency_lists"])
+        raw_lists += [np.zeros((0, 2), dtype=np.int32)] * (
+            self._num_fwd_edge_types - len(raw_lists)
+        )
         adjacency_lists, type_to_num_incoming = process_adjacency_lists(
-            adjacency_lists=datapoint["graph"]["adjacency_lists"],
+            adjacency_lists=raw_lists,
             num_nodes=len(node_features),
             add_self_loop_edges=self.params["add_self_loop_edges"],
             tied_fwd_bkwd_edge_types=self._tied_fwd_bkwd_edge_types,
