@@ -140,3 +140,62 @@ def test_sorted_segment_max_matches_xla():
     expected = np.where(np.isfinite(expected), expected, 0.0)
     expected[counts == 0] = 0.0
     np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_attention_scatter_matches_composition():
+    from tf2_gnn_tpu.ops.spmm_pallas import attention_scatter
+
+    v, k, hd, num_edges = 256, 4, 32, 2000
+    h = k * hd
+    rng = np.random.RandomState(7)
+    tgt = rng.randint(0, v, num_edges).astype(np.int32)
+    num_chunks = plan_chunk_budget(num_edges, v)
+    perm, rel_tgt, block_ids = plan_sorted_scatter(tgt, num_edges, v, num_chunks)
+    slots = num_chunks * CHUNK_EDGES
+
+    expd = np.zeros((slots, k), dtype=np.float32)
+    msgs = np.full((slots, h), 9.9, dtype=np.float32)
+    valid = perm >= 0
+    expd[valid] = rng.rand(int(valid.sum()), k).astype(np.float32)
+    msgs[valid] = rng.randn(int(valid.sum()), h).astype(np.float32)
+    tgtabs = np.zeros((slots,), dtype=np.int32)
+    tgtabs[valid] = tgt[perm[valid]]
+    sentinel = (rel_tgt >= 128)
+
+    denom, weighted = attention_scatter(
+        jnp.asarray(expd), jnp.asarray(msgs), jnp.asarray(rel_tgt),
+        jnp.asarray(block_ids), jnp.asarray(tgtabs), jnp.asarray(sentinel),
+        v, k, True,
+    )
+    # Reference composition.
+    exp_ref = np.zeros((v, k)); w_ref = np.zeros((v, h))
+    for s_ in np.nonzero(valid)[0]:
+        exp_ref[tgtabs[s_]] += expd[s_]
+        w_ref[tgtabs[s_]] += np.tile(expd[s_], hd) * msgs[s_]  # hk-major
+    np.testing.assert_allclose(np.asarray(denom), exp_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(weighted), w_ref, rtol=1e-4, atol=1e-3)
+
+    # Gradients vs the straightforward composition.
+    def loss_fused(e, m):
+        d, w = attention_scatter(e, m, jnp.asarray(rel_tgt),
+                                 jnp.asarray(block_ids), jnp.asarray(tgtabs),
+                                 jnp.asarray(sentinel), v, k, True)
+        return jnp.sum(w * w) + jnp.sum(d * d)
+
+    def loss_ref(e, m):
+        w_scaled = m * jnp.tile(e, (1, hd))
+        mask = jnp.asarray(~sentinel, dtype=jnp.float32)[:, None]
+        d = jax.ops.segment_sum(e * mask, jnp.asarray(tgtabs), num_segments=v)
+        w = jax.ops.segment_sum(w_scaled * mask, jnp.asarray(tgtabs),
+                                num_segments=v)
+        return jnp.sum(w * w) + jnp.sum(d * d)
+
+    ge_f, gm_f = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(expd),
+                                                      jnp.asarray(msgs))
+    ge_r, gm_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(expd),
+                                                    jnp.asarray(msgs))
+    valid_j = jnp.asarray(valid)
+    np.testing.assert_allclose(np.asarray(ge_f)[valid], np.asarray(ge_r)[valid],
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gm_f)[valid], np.asarray(gm_r)[valid],
+                               rtol=1e-3, atol=1e-2)

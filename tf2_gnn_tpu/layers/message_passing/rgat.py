@@ -53,7 +53,6 @@ class RGAT(MessagePassing):
             PlanView,
             plan_gather_src,
             plan_gather_tgt_typed,
-            plan_scatter,
         )
 
         plan = PlanView(batch.scatter_plans)
@@ -78,9 +77,14 @@ class RGAT(MessagePassing):
             "lvkd,lkd->lvk", per_head, attention_params[:, :, head_dim:]
         )
 
-        # One bundled source gather: [LV, H + K].
+        # One bundled source gather: [LV, H + K]. Messages go in HK-MAJOR
+        # head layout (column hk*K + k) to match the fused attention
+        # kernel's tiled expd scaling.
+        transformed_hk = per_head.transpose(0, 1, 3, 2).reshape(
+            num_types, v, self.hidden_dim
+        )
         src_bundle = jnp.concatenate(
-            [transformed.reshape(num_types * v, self.hidden_dim),
+            [transformed_hk.reshape(num_types * v, self.hidden_dim),
              src_scores.reshape(num_types * v, heads)],
             axis=1,
         )
@@ -108,8 +112,7 @@ class RGAT(MessagePassing):
         # stabiliser's true gradient is zero), the exp-sum runs the sorted
         # scatter with its gather-transpose VJP. Sentinel slots are excluded
         # by the kernels' one-hot; their exp is zeroed for the sum.
-        from ...ops.spmm_pallas import plan_scatter as _plan_scatter
-        from ...ops.spmm_pallas import sorted_segment_max
+        from ...ops.spmm_pallas import attention_scatter, sorted_segment_max
         from ...utils.constants import SMALL_NUMBER
 
         sentinel = plan.rel_tgt >= BLOCK_NODES
@@ -120,17 +123,17 @@ class RGAT(MessagePassing):
         )  # [V, K]
         shifted = logits - jnp.take(maxes, plan.tgtabs_fwd, axis=0, mode="clip")
         expd = jnp.where(sentinel[:, None], 0.0, jnp.exp(shifted))
-        denom = _plan_scatter(expd, plan.rel_tgt, plan.tgt_blocks,
-                              plan.tgtabs_fwd, v)  # [V, K]
-        attention = expd / (
-            jnp.take(denom, plan.tgtabs_fwd, axis=0, mode="clip") + SMALL_NUMBER
-        )  # [slots, K]
-
-        weighted = (
-            attention[:, :, None] * msgs.reshape(-1, heads, head_dim)
-        ).reshape(-1, self.hidden_dim)
-        return plan_scatter(weighted, plan.rel_tgt, plan.tgt_blocks,
-                            plan.tgtabs_fwd, v)
+        # Fused kernel: denominators and exp-weighted message sums in ONE
+        # pass — the per-edge attention weights are never materialised.
+        denom, weighted = attention_scatter(
+            expd, msgs, plan.rel_tgt, plan.tgt_blocks, plan.tgtabs_fwd,
+            sentinel, v, heads,
+        )
+        weighted = weighted / (jnp.tile(denom, (1, head_dim)) + SMALL_NUMBER)
+        # Back to the reference's concat-head (k-major) layout.
+        return weighted.reshape(v, head_dim, heads).transpose(0, 2, 1).reshape(
+            v, self.hidden_dim
+        )
 
     def _compute_messages_per_type(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool

@@ -756,3 +756,124 @@ def _pgtt_bwd(num_types, interpret, res, g):
 
 
 plan_gather_tgt_typed.defvjp(_pgtt_fwd, _pgtt_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def attention_scatter(expd, msgs, rel_tgt, tgt_blocks, tgtabs_fwd,
+                      sentinel_mask, num_nodes: int, num_heads: int,
+                      interpret=None):
+    """Fused attention aggregation: one kernel pass produces BOTH the softmax
+    denominators and the weight-summed messages.
+
+    ``expd``: f32 [slots, K] exp(shifted logits), sentinel slots zeroed;
+    ``msgs``: [slots, H] messages in HK-MAJOR head layout — column hk*K + k
+    (pltpu.repeat tiles, so tiling expd K columns head_dim times aligns with
+    this layout). Returns (denom [num_nodes, K], weighted [num_nodes, H])
+    where weighted[v, hk*K+k] = sum over slots targeting v of
+    expd[slot, k] * msgs[slot, hk*K+k]. Per-edge attention weights are never
+    materialised.
+    """
+    del sentinel_mask
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    slots, h = msgs.shape
+    k = expd.shape[1]
+    head_dim = h // k
+    num_chunks = slots // CHUNK_EDGES
+    if num_nodes % BLOCK_NODES != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of {BLOCK_NODES}.")
+
+    def kernel(block_ids_ref, rel_ref, expd_ref, msgs_ref, zeros_d_ref,
+               zeros_w_ref, denom_ref, weighted_ref):
+        del zeros_d_ref, zeros_w_ref
+        c = pl.program_id(0)
+        rel = rel_ref[c % 8, :]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
+        )
+        one_hot = (rows == rel[None, :]).astype(msgs_ref.dtype)
+        e = expd_ref[:]  # [CE, K]
+        scaled = msgs_ref[:] * pltpu.repeat(
+            e.astype(msgs_ref.dtype), head_dim, axis=1
+        )  # [CE, H]
+        denom_partial = jnp.dot(one_hot, e.astype(msgs_ref.dtype),
+                                preferred_element_type=jnp.float32)
+        weighted_partial = jnp.dot(one_hot, scaled,
+                                   preferred_element_type=jnp.float32)
+
+        prev = block_ids_ref[jnp.maximum(c - 1, 0)]
+        first = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
+
+        @pl.when(first)
+        def _():
+            denom_ref[:, :] = denom_partial
+            weighted_ref[:, :] = weighted_partial
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            denom_ref[:, :] = denom_ref[:, :] + denom_partial
+            weighted_ref[:, :] = weighted_ref[:, :] + weighted_partial
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK_EDGES), lambda c, ids: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, k), lambda c, ids: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, h), lambda c, ids: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, k), lambda c, ids: (ids[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, h), lambda c, ids: (ids[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLOCK_NODES, k), lambda c, ids: (ids[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_NODES, h), lambda c, ids: (ids[c], 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    zeros_d = jnp.zeros((num_nodes, k), dtype=jnp.float32)
+    zeros_w = jnp.zeros((num_nodes, h), dtype=jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_nodes, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(tgt_blocks, rel_tgt.reshape(num_chunks, CHUNK_EDGES),
+      expd, msgs, zeros_d, zeros_w)
+
+
+def _as_fwd(expd, msgs, rel_tgt, tgt_blocks, tgtabs_fwd, sentinel_mask,
+            num_nodes, num_heads, interpret):
+    out = attention_scatter(expd, msgs, rel_tgt, tgt_blocks, tgtabs_fwd,
+                            sentinel_mask, num_nodes, num_heads, interpret)
+    return out, (expd, msgs, tgtabs_fwd, sentinel_mask)
+
+
+def _as_bwd(num_nodes, num_heads, interpret, res, g):
+    expd, msgs, tgtabs_fwd, sentinel_mask = res
+    d_denom, d_weighted = g
+    slots, h = msgs.shape
+    head_dim = h // num_heads
+    d_w_g = jnp.take(d_weighted, tgtabs_fwd, axis=0, mode="clip")
+    d_d_g = jnp.take(d_denom, tgtabs_fwd, axis=0, mode="clip")
+    mask = sentinel_mask[:, None]
+    d_w_g = jnp.where(mask, 0.0, d_w_g)
+    d_d_g = jnp.where(mask, 0.0, d_d_g)
+    # hk-major: d_msgs[e, hk*K+k] = expd[e,k] * d_weighted[tgt_e, hk*K+k]
+    d_msgs = d_w_g * jnp.tile(expd, (1, head_dim))
+    # d_expd[e,k] = sum_hk msgs[e,hk*K+k] * d_weighted[tgt_e,hk*K+k] + d_denom
+    prod = (msgs.astype(jnp.float32) * d_w_g).reshape(slots, head_dim, num_heads)
+    d_expd = prod.sum(axis=1) + d_d_g
+    return d_expd, d_msgs.astype(msgs.dtype), None, None, None, None
+
+
+attention_scatter.defvjp(_as_fwd, _as_bwd)
