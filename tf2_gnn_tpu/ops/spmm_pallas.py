@@ -326,32 +326,6 @@ def _feature_tile(h: int) -> int:
     return h  # single tile; mosaic pads the lane dim
 
 
-def _scatter_kernel(block_ids_ref, rel_tgt_ref, msgs_ref, zeros_ref, out_ref):
-    del zeros_ref
-    c = pl.program_id(1)
-    # rel_tgt arrives in (8, CHUNK_EDGES) row-blocks (TPU sublane rule); pick
-    # this chunk's row.
-    rel = rel_tgt_ref[c % 8, :]  # int32 [CHUNK_EDGES]
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (BLOCK_NODES, CHUNK_EDGES), 0
-    )
-    # One-hot in the message dtype (bf16 halves the MXU operand bandwidth);
-    # accumulation stays f32 via preferred_element_type.
-    one_hot = (rows == rel[None, :]).astype(msgs_ref.dtype)
-    partial_sum = jnp.dot(one_hot, msgs_ref[:], preferred_element_type=jnp.float32)
-
-    prev = block_ids_ref[jnp.maximum(c - 1, 0)]
-    is_first_visit = jnp.logical_or(c == 0, block_ids_ref[c] != prev)
-
-    @pl.when(is_first_visit)
-    def _():
-        out_ref[:, :] = partial_sum
-
-    @pl.when(jnp.logical_not(is_first_visit))
-    def _():
-        out_ref[:, :] = out_ref[:, :] + partial_sum
-
-
 def _scaled_scatter_kernel(block_ids_ref, rel_tgt_ref, scale_ref, msgs_ref,
                            zeros_ref, out_ref):
     """Scatter with a per-edge scalar weight folded into the one-hot columns
