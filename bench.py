@@ -101,12 +101,20 @@ def main():
     from tf2_gnn_tpu.harness.training import create_train_state, make_train_step
     from tf2_gnn_tpu.models.node_multiclass_task import NodeMulticlassTask
 
+    # The shipped PPI_RGCN configuration (tf2-gnn default_hypers/PPI_RGCN.json
+    # == harness/default_hypers/PPI_RGCN.json): 4 layers, hidden 320,
+    # normalize-by-incoming, input dropout 0.1, and dense/residual/global-
+    # exchange all disabled (every_num_layers=10000).
     params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
     params.update(
         {
             "gnn_hidden_dim": 320,
             "gnn_num_layers": 4,
             "gnn_normalize_by_num_incoming": True,
+            "gnn_layer_input_dropout_rate": 0.1,
+            "gnn_dense_every_num_layers": 10000,
+            "gnn_residual_every_num_layers": 10000,
+            "gnn_global_exchange_every_num_layers": 10000,
             "learning_rate": 0.001,
         }
     )
