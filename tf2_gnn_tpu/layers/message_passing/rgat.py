@@ -37,9 +37,10 @@ class RGAT(MessagePassing):
     def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
         """Fused RGAT: the SDDMM collapses to two node-space score tables, so
         per edge the path is ONE bundled source gather (transformed states +
-        source score halves), one merged-target gather of the target halves,
-        an XLA segment softmax over absolute targets, and the sorted MXU
-        scatter of the attention-weighted messages."""
+        source score halves), one type-minor target gather of the target
+        halves, the Pallas segment-max for softmax stabilisation, and the
+        fused attention kernel that produces softmax denominators AND
+        exp-weighted message sums in a single pass."""
         if (
             batch.scatter_plans is None
             or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
