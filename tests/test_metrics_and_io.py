@@ -1,0 +1,65 @@
+"""MetricsLogger JSONL output + file-format helpers round trips."""
+import json
+
+import numpy as np
+
+from tf2_gnn_tpu.data.io import iter_jsonl_gz, read_by_file_suffix, write_jsonl_gz
+from tf2_gnn_tpu.harness.metrics_log import MetricsLogger
+
+
+def test_metrics_logger_writes_jsonl(tmp_path):
+    path = tmp_path / "run_metrics.jsonl"
+    with MetricsLogger(path, run_id="r1") as log:
+        log.log("run_start", model="RGCN", task="PPI")
+        log.log_epoch(1, "train", loss=1.25, metric=-0.4,
+                      metric_str="Avg MicroF1: 0.400", graphs_per_s=123.0)
+        log.log_epoch(1, "valid", loss=np.float32(1.5), metric=-0.41,
+                      metric_str="Avg MicroF1: 0.410", graphs_per_s=456.0)
+
+    records = [json.loads(line) for line in path.read_text().splitlines()]
+    assert [r["event"] for r in records] == ["run_start", "epoch", "epoch"]
+    assert all(r["run_id"] == "r1" for r in records)
+    assert records[1]["fold"] == "train"
+    assert records[2]["loss"] == 1.5  # numpy scalars serialised as floats
+    assert all("time" in r and "elapsed_s" in r for r in records)
+
+
+def test_metrics_logger_appends_across_sessions(tmp_path):
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(path, run_id="a") as log:
+        log.log("run_start")
+    with MetricsLogger(path, run_id="a") as log:
+        log.log("run_end")
+    assert len(path.read_text().splitlines()) == 2
+
+
+def test_jsonl_gz_roundtrip(tmp_path):
+    path = tmp_path / "data.jsonl.gz"
+    records = [{"x": i, "y": [i, i + 1]} for i in range(5)]
+    write_jsonl_gz(path, records)
+    assert list(iter_jsonl_gz(path)) == records
+    assert read_by_file_suffix(path) == records
+
+
+def test_read_by_file_suffix_formats(tmp_path):
+    import gzip
+    import pickle
+
+    (tmp_path / "a.json").write_text('{"k": 1}')
+    assert read_by_file_suffix(tmp_path / "a.json") == {"k": 1}
+
+    (tmp_path / "b.jsonl").write_text('{"k": 1}\n\n{"k": 2}\n')
+    assert read_by_file_suffix(tmp_path / "b.jsonl") == [{"k": 1}, {"k": 2}]
+
+    np.save(tmp_path / "c.npy", np.arange(4))
+    np.testing.assert_array_equal(read_by_file_suffix(tmp_path / "c.npy"),
+                                  np.arange(4))
+
+    with gzip.open(tmp_path / "d.pkl.gz", "wb") as f:
+        pickle.dump({"z": 3}, f)
+    assert read_by_file_suffix(tmp_path / "d.pkl.gz") == {"z": 3}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_by_file_suffix(tmp_path / "nope.xyz")
