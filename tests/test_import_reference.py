@@ -1,9 +1,11 @@
 """Reference hdf5 weight import: mapping + exact numerical parity.
 
-A synthetic Keras-style weight file is generated in the reference's name-scope
-layout (reference gnn.py:133-176), imported, and the resulting RGCN forward
-pass is checked against a straight numpy re-implementation of the reference's
-math — per-layer allclose, the parity gate from BASELINE.md.
+A synthetic Keras-style weight file is generated in the reference's REAL
+name-scope layout (verified against actual reference-produced checkpoints,
+see tests/fixtures/reference_dumps and test_reference_parity.py), imported,
+and the resulting RGCN forward pass is checked against a straight numpy
+re-implementation of the reference's math — per-layer allclose, the parity
+gate from BASELINE.md.
 """
 import numpy as np
 import pytest
@@ -14,33 +16,37 @@ import jax
 
 from tf2_gnn_tpu.data.graph_batch import PaddingConfig, pad_batch_arrays
 from tf2_gnn_tpu.harness.import_reference import (
-    import_gnn_weights,
-    import_into_params,
-    read_h5_variables,
+    import_reference_weights,
+    map_reference_variables,
+    read_reference_checkpoint,
 )
 from tf2_gnn_tpu.layers.gnn import GNN
 
 
 def _write_reference_style_h5(path, num_layers, num_types, d, h, rng):
-    """Weights in the reference's name-scoped layout for an RGCN."""
+    """Weights in the reference's name-scoped layout for an RGCN.
+
+    Layout matches real ``save_model`` output (model_utils.py:62-71): a
+    Keras-generated top group, then name-scoped variable paths.
+    """
     values = {}
     with h5py.File(path, "w") as f:
-        g = f.create_group("RGCN_GNN")
+        g = f.create_group("gnn")  # auto-generated first level (skipped on read)
         k = rng.randn(d, h).astype(np.float32) * 0.2
-        g.create_dataset("gnn_initial_node_projection/dense/kernel:0", data=k)
+        g.create_dataset("RGCN_GNN/gnn_initial_node_projection/kernel:0", data=k)
         values["init"] = k
         for layer in range(num_layers):
             for t in range(num_types):
                 k = rng.randn(h, h).astype(np.float32) * 0.2
                 g.create_dataset(
-                    f"Layer_{layer}/MessagePassing/edge_type_{t}/"
-                    f"mlp_dense_layer_0/kernel:0",
+                    f"RGCN_GNN/Layer_{layer}/MessagePassing/edge_type_{t}/"
+                    f"MLP/dense_out/kernel:0",
                     data=k,
                 )
                 values[f"l{layer}t{t}"] = k
             if layer % 2 == 0:
                 k = rng.randn(h, h).astype(np.float32) * 0.2
-                g.create_dataset(f"Layer_{layer}/Dense/dense/kernel:0", data=k)
+                g.create_dataset(f"RGCN_GNN/Layer_{layer}/Dense/kernel:0", data=k)
                 values[f"dense{layer}"] = k
     return values
 
@@ -50,16 +56,18 @@ def test_import_maps_and_stacks(tmp_path):
     path = tmp_path / "ref.hdf5"
     values = _write_reference_style_h5(path, num_layers=2, num_types=3,
                                        d=6, h=8, rng=rng)
-    h5_vars = read_h5_variables(path)
-    warnings = []
-    gnn = import_gnn_weights(h5_vars, num_edge_types=3, log=warnings.append)
+    h5_vars = read_reference_checkpoint(str(path))
+    mapped, unmatched = map_reference_variables(h5_vars, log=lambda *_: None)
+    assert not unmatched
     np.testing.assert_array_equal(
-        gnn["initial_node_projection"]["kernel"], values["init"]
+        mapped[("gnn", "initial_node_projection", "kernel")], values["init"]
     )
-    stacked = gnn["mp_layer_1"]["edge_mlp_layer_0"]["kernel"]
+    stacked = mapped[("gnn", "mp_layer_1", "edge_mlp_layer_0", "kernel")]
     assert stacked.shape == (3, 8, 8)
     np.testing.assert_array_equal(stacked[2], values["l1t2"])
-    np.testing.assert_array_equal(gnn["dense_0"]["kernel"], values["dense0"])
+    np.testing.assert_array_equal(
+        mapped[("gnn", "dense_0", "kernel")], values["dense0"]
+    )
 
 
 def test_imported_rgcn_matches_reference_math(tmp_path):
@@ -86,10 +94,9 @@ def test_imported_rgcn_matches_reference_math(tmp_path):
                "global_exchange_every_num_layers": 10000})
     gnn = GNN.from_params(hp)
     variables = gnn.init(jax.random.PRNGKey(0), batch, False)
-    params = import_into_params(
-        variables["params"], path, num_edge_types=num_types,
-        log=lambda *_: None,
-    )
+    params = import_reference_weights(
+        {"gnn": variables["params"]}, str(path), log=lambda *_: None
+    )["gnn"]
     out, _ = gnn.apply({"params": params}, batch, False)
 
     # Reference math in numpy (rgcn.py semantics: normalize by per-type
@@ -112,22 +119,39 @@ def test_imported_rgcn_matches_reference_math(tmp_path):
     np.testing.assert_allclose(np.asarray(out)[:n], cur, rtol=1e-4, atol=1e-5)
 
 
-def test_split_concat_kernel_for_target_state(tmp_path):
+def test_split_concat_kernel_for_target_state():
     rng = np.random.RandomState(2)
-    path = tmp_path / "ref.hdf5"
-    with h5py.File(path, "w") as f:
-        k = rng.randn(12, 8).astype(np.float32)  # [2D=12, H=8]
-        f.create_dataset(
-            "GNN_Edge_MLP_GNN/Layer_0/MessagePassing/edge_type_0/"
-            "mlp_dense_layer_0/kernel:0",
-            data=k,
-        )
-    h5_vars = read_h5_variables(path)
-    gnn = import_gnn_weights(h5_vars, num_edge_types=1,
-                             use_target_state_as_input=True,
-                             log=lambda *_: None)
+    k = rng.randn(12, 8).astype(np.float32)  # [2D=12, H=8]
+    ref_vars = {
+        "GNN_Edge_MLP_GNN/Layer_0/MessagePassing/edge_type_0/"
+        "MLP/dense_out/kernel:0": k
+    }
+    mapped, unmatched = map_reference_variables(
+        ref_vars, use_target_state_as_input=True, log=lambda *_: None
+    )
+    assert not unmatched
     np.testing.assert_array_equal(
-        gnn["mp_layer_0"]["edge_mlp_src_0"]["kernel"][0], np.asarray(h5_vars[
-            "GNN_Edge_MLP_GNN/Layer_0/MessagePassing/edge_type_0/"
-            "mlp_dense_layer_0/kernel:0"])[:6]
+        mapped[("gnn", "mp_layer_0", "edge_mlp_src_0", "kernel")][0], k[:6]
+    )
+    np.testing.assert_array_equal(
+        mapped[("gnn", "mp_layer_0", "edge_mlp_tgt_0", "kernel")][0], k[6:]
+    )
+
+
+def test_gru_bias_split():
+    """Keras reset_after bias [2, 3H] splits into input/recurrent rows."""
+    rng = np.random.RandomState(3)
+    bias = rng.randn(2, 24).astype(np.float32)
+    ref_vars = {
+        "GGNN_GNN/Layer_1/MessagePassing/bias:0": bias,
+        "GGNN_GNN/Layer_1/MessagePassing/kernel:0": rng.randn(8, 24).astype(np.float32),
+        "GGNN_GNN/Layer_1/MessagePassing/recurrent_kernel:0": rng.randn(8, 24).astype(np.float32),
+    }
+    mapped, unmatched = map_reference_variables(ref_vars, log=lambda *_: None)
+    assert not unmatched
+    np.testing.assert_array_equal(
+        mapped[("gnn", "mp_layer_1", "gru_cell", "input_bias")], bias[0]
+    )
+    np.testing.assert_array_equal(
+        mapped[("gnn", "mp_layer_1", "gru_cell", "recurrent_bias")], bias[1]
     )

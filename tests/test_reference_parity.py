@@ -1,0 +1,203 @@
+"""Cross-implementation parity against REAL reference executions.
+
+The fixtures under tests/fixtures/reference_dumps were produced by running
+the actual reference implementation (/root/reference via tools/refrun) on
+CPU TensorFlow: each dump.npz holds the exact first validation batch, every
+variable by name, the per-layer GNN representations
+(reference gnn.py:269-274), the task output, and the loss. Here we
+
+1. load the SAME data with our loaders and check the batch matches the
+   reference's batch bit-for-bit (loader/batcher cross-check),
+2. import the reference weights through harness.import_reference (complete
+   flavour coverage: edge MLPs, GGNN GRU, RGAT attention, FiLM, global
+   exchange, readouts, task heads),
+3. run our forward pass and require per-layer + final + task-output + loss
+   allclose — true numerical parity with the reference, per flavour.
+
+RGCN additionally exercises the real .hdf5 checkpoint file format
+(reference model_utils.py:62-93).
+"""
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.data.graph_dataset import DataFold
+from tf2_gnn_tpu.harness.import_reference import (
+    import_reference_weights,
+    read_reference_checkpoint,
+)
+from tf2_gnn_tpu.harness.run import (
+    get_model_and_dataset_from_args,
+    get_train_cli_arg_parser,
+)
+from tf2_gnn_tpu.layers.gnn import GNN
+
+from .synthetic_data import write_ppi_dataset, write_qm9_dataset
+
+FIXTURES = Path(__file__).parent / "fixtures"
+DUMPS = FIXTURES / "reference_dumps"
+MOLECULES = FIXTURES / "ref_molecules"
+
+CASES = [
+    # (dump dir, task, model)
+    ("rgcn", "GraphRegression", "RGCN"),
+    ("RGAT", "GraphRegression", "RGAT"),
+    ("GGNN", "GraphRegression", "GGNN"),
+    ("RGIN", "GraphRegression", "RGIN"),
+    ("GNN_FiLM", "GraphRegression", "GNN_FiLM"),
+    ("GNN_Edge_MLP", "GraphRegression", "GNN_Edge_MLP"),
+    ("ppi_rgcn", "PPI", "RGCN"),
+    ("qm9_rgcn", "QM9", "RGCN"),
+]
+
+RTOL = 2e-4
+ATOL = 1e-4
+
+
+def load_dump(name):
+    dump = np.load(DUMPS / name / "dump.npz")
+    with open(DUMPS / name / "meta.json") as f:
+        meta = json.load(f)
+    ref_vars = {k[5:]: dump[k] for k in dump.files if k.startswith("var::")}
+    return dump, meta, ref_vars
+
+
+def data_path_for(task: str, tmp_path_factory) -> str:
+    if task == "GraphRegression":
+        return str(MOLECULES)
+    base = tmp_path_factory.mktemp(f"parity_{task}")
+    if task == "PPI":
+        # Must regenerate the exact dataset the dump was produced from
+        # (deterministic given the seed; see tools/refrun usage).
+        write_ppi_dataset(base, graphs_per_fold=3, nodes_per_graph=40,
+                          feature_dim=50, num_labels=121, seed=7)
+    elif task == "QM9":
+        write_qm9_dataset(base, num_graphs=12, feature_dim=15, seed=7)
+    return str(base)
+
+
+def build_ours(task, model, data_path, meta):
+    parser = get_train_cli_arg_parser()
+    args = parser.parse_args(
+        [
+            model,
+            task,
+            data_path,
+            "--model-params-override",
+            json.dumps(meta["model_params"]),
+            "--data-params-override",
+            json.dumps(meta["dataset_params"]),
+        ]
+    )
+    task_model, params_hypers, dataset = get_model_and_dataset_from_args(args)
+    return task_model, dataset
+
+
+def assert_batch_matches(batch, labels, dump, task):
+    """Our padded batch must contain exactly the reference's batch."""
+    v = int(batch.num_nodes)
+    g = int(batch.num_graphs)
+    ref_feat = dump["feat::node_features"]
+    assert v == ref_feat.shape[0]
+    assert g == int(dump["feat::num_graphs_in_batch"])
+    np.testing.assert_allclose(
+        np.asarray(batch.node_features)[:v], ref_feat, rtol=1e-6, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.node_to_graph)[:v], dump["feat::node_to_graph_map"]
+    )
+    for t in range(len(batch.edge_sources)):
+        adj = dump[f"feat::adjacency_list_{t}"]
+        count = int(np.asarray(batch.num_edges)[t])
+        assert count == adj.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(batch.edge_sources[t])[:count], adj[:, 0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch.edge_targets[t])[:count], adj[:, 1]
+        )
+    if task == "PPI":
+        np.testing.assert_allclose(
+            np.asarray(labels["node_labels"])[:v], dump["label::node_labels"],
+            rtol=1e-6, atol=0,
+        )
+
+
+@pytest.mark.parametrize("name,task,model", CASES, ids=[c[0] for c in CASES])
+def test_reference_parity(name, task, model, tmp_path_factory):
+    dump, meta, ref_vars = load_dump(name)
+    data_path = data_path_for(task, tmp_path_factory)
+    task_model, dataset = build_ours(task, model, data_path, meta)
+
+    batch, labels = next(dataset.batch_iterator(DataFold.VALIDATION))
+    assert_batch_matches(batch, labels, dump, task)
+
+    variables = task_model.init(jax.random.PRNGKey(0), batch, False)
+    warnings = []
+    imported = import_reference_weights(
+        variables["params"],
+        ref_vars,
+        use_target_state_as_input=bool(
+            meta["model_params"].get("gnn_use_target_state_as_input", False)
+        ),
+        log=warnings.append,
+    )
+    unmapped = [w for w in warnings if "not mapped" in w or "no counterpart" in w]
+    assert not unmapped, f"importer left variables unmatched: {unmapped}"
+
+    v = int(batch.num_nodes)
+    g = int(batch.num_graphs)
+
+    # Per-layer GNN representations (capture semantics of reference gnn.py:305).
+    gnn = GNN.from_params(dict(task_model.gnn_hypers), name="gnn")
+    final, all_reps = gnn.apply({"params": imported["gnn"]}, batch, False)
+    ref_reps = sorted(
+        (int(k.split("::")[1]), dump[k]) for k in dump.files if k.startswith("rep::")
+    )
+    assert len(all_reps) == len(ref_reps), (
+        f"{len(all_reps)} captured representations vs reference {len(ref_reps)}"
+    )
+    for (idx, ref_rep), ours in zip(ref_reps, all_reps):
+        np.testing.assert_allclose(
+            np.asarray(ours)[:v], ref_rep, rtol=RTOL, atol=ATOL,
+            err_msg=f"layer representation {idx} diverges",
+        )
+    np.testing.assert_allclose(
+        np.asarray(final)[:v], dump["final_reps"], rtol=RTOL, atol=ATOL,
+        err_msg="final node representations diverge",
+    )
+
+    # Task output + loss through our full model with imported weights.
+    out = task_model.apply({"params": imported}, batch, False)
+    ref_out = (
+        dump["task_output"] if "task_output" in dump.files else dump["task_output::0"]
+    )
+    ours_out = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
+    if ours_out.ndim >= 1 and ours_out.shape[0] == batch.num_nodes_padded:
+        ours_out = ours_out[:v]
+    elif ours_out.ndim >= 1 and ours_out.shape[0] == batch.num_graphs_padded:
+        ours_out = ours_out[:g]
+    np.testing.assert_allclose(
+        ours_out.reshape(ref_out.shape), ref_out, rtol=RTOL, atol=ATOL,
+        err_msg="task output diverges",
+    )
+
+    metrics = task_model.compute_task_metrics(batch, out, labels)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(dump["loss"]), rtol=5e-4,
+        err_msg="loss diverges",
+    )
+
+
+def test_hdf5_checkpoint_roundtrip():
+    """The real save_model .hdf5 reads back to exactly the dumped variables."""
+    dump, meta, ref_vars = load_dump("rgcn")
+    h5_vars = read_reference_checkpoint(str(DUMPS / "rgcn" / "ckpt.hdf5"))
+    h5_vars.pop("training_step:0", None)
+    ref_vars.pop("training_step:0", None)
+    assert set(h5_vars) == set(ref_vars)
+    for name, value in ref_vars.items():
+        np.testing.assert_array_equal(h5_vars[name], value)

@@ -155,7 +155,9 @@ class GraphDataset(ABC):
         if graph_budget is not None and counts["graphs"] + 1 > graph_budget - 1:
             return False
         if edge_budgets is not None:
-            for edge_type, adj in enumerate(graph.adjacency_lists):
+            for edge_type, adj in enumerate(
+                graph.adjacency_lists[: self.num_edge_types]
+            ):
                 if counts["edges"][edge_type] + adj.shape[0] > edge_budgets[edge_type]:
                     return False
         return True
@@ -184,7 +186,9 @@ class GraphDataset(ABC):
             batch.append(graph)
             counts["nodes"] += graph.num_nodes
             counts["graphs"] += 1
-            for edge_type, adj in enumerate(graph.adjacency_lists):
+            for edge_type, adj in enumerate(
+                graph.adjacency_lists[: self.num_edge_types]
+            ):
                 counts["edges"][edge_type] += adj.shape[0]
         if batch:
             yield batch
@@ -217,7 +221,14 @@ class GraphDataset(ABC):
         for fold in self._loaded_folds():
             graphs = self._graphs_in_fold(fold)
             for g in graphs:
-                for edge_type, adj in enumerate(g.adjacency_lists):
+                # Samples may carry more lists than num_edge_types (e.g. an
+                # untied raw type whose backward edges appended a fresh type);
+                # the reference drops the extras at batch time
+                # (graph_dataset.py:218-222 iterates the batch's
+                # num_edge_types lists only) — mirror that.
+                for edge_type, adj in enumerate(
+                    g.adjacency_lists[: self.num_edge_types]
+                ):
                     max_edges_per_graph[edge_type] = max(
                         max_edges_per_graph[edge_type], adj.shape[0]
                     )

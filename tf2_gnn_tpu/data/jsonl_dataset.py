@@ -92,14 +92,11 @@ class JsonLGraphDataset(GraphDataset):
     def _process_raw_datapoint(self, datapoint: Dict[str, Any]) -> GraphSample:
         node_features = np.asarray(datapoint["graph"]["node_features"], dtype=np.float32)
         raw_lists = list(datapoint["graph"]["adjacency_lists"])
-        if len(raw_lists) > self._num_fwd_edge_types:
-            raise ValueError(
-                f"Datapoint has {len(raw_lists)} adjacency lists but the "
-                f"dataset is configured for {self._num_fwd_edge_types} forward "
-                f"edge types."
-            )
-        # Datapoints may omit trailing edge types that happen to be empty in
-        # this graph; pad them so the type count stays consistent.
+        # Datapoints may carry MORE lists than num_fwd_edge_types (reference
+        # processes them all and silently drops the surplus types at batch
+        # time, graph_dataset.py:218-222 — e.g. its own checked-in fixture has
+        # 4 raw lists with num_fwd_edge_types=3) or FEWER (omitted trailing
+        # empty types; pad so the type count stays consistent).
         raw_lists += [np.zeros((0, 2), dtype=np.int32)] * (
             self._num_fwd_edge_types - len(raw_lists)
         )

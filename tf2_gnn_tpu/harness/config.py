@@ -83,8 +83,11 @@ def parse_params_override(spec: Optional[str]) -> Optional[Dict[str, Any]]:
     """Parse a ``--*-params-override`` JSON string (or file path)."""
     if not spec:
         return None
-    path = Path(spec)
-    if path.exists():
-        with open(path) as f:
-            return json.load(f)
+    # Inline JSON starts with '{'; anything else may be a file path. (Long
+    # JSON strings must not reach Path.stat — os.stat errors on >255 chars.)
+    if not spec.lstrip().startswith("{"):
+        path = Path(spec)
+        if path.exists():
+            with open(path) as f:
+                return json.load(f)
     return json.loads(spec)
