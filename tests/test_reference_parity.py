@@ -27,6 +27,7 @@ import pytest
 from tf2_gnn_tpu.data.graph_dataset import DataFold
 from tf2_gnn_tpu.harness.import_reference import (
     import_reference_weights,
+    map_reference_variables,
     read_reference_checkpoint,
 )
 from tf2_gnn_tpu.harness.run import (
@@ -190,6 +191,45 @@ def test_reference_parity(name, task, model, tmp_path_factory):
         float(metrics["loss"]), float(dump["loss"]), rtol=5e-4,
         err_msg="loss diverges",
     )
+
+    # Backward parity: loss gradients at the imported point must match the
+    # reference's GradientTape gradients (dumped as grad::<var>).
+    ref_grads = {k[6:]: dump[k] for k in dump.files if k.startswith("grad::")}
+    assert ref_grads, "dump has no gradients — regenerate with tools/refrun"
+    mapped_grads, _ = map_reference_variables(
+        ref_grads,
+        use_target_state_as_input=bool(
+            meta["model_params"].get("gnn_use_target_state_as_input", False)
+        ),
+        log=lambda *_: None,
+    )
+
+    def loss_fn(p):
+        o = task_model.apply({"params": p}, batch, False)
+        return task_model.compute_task_metrics(batch, o, labels)["loss"]
+
+    my_grads = jax.grad(loss_fn)(jax.tree.map(np.asarray, imported))
+    flat = {}
+
+    def flatten(tree, prefix=()):
+        if isinstance(tree, dict):
+            for key, valuesub in tree.items():
+                flatten(valuesub, prefix + (key,))
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    flatten(my_grads)
+    checked = 0
+    for path, ref_grad in sorted(mapped_grads.items()):
+        mine = flat.get(path)
+        assert mine is not None, f"no gradient computed for {'/'.join(path)}"
+        scale = max(float(np.abs(ref_grad).max()), 1e-8)
+        err = float(np.abs(mine - ref_grad).max()) / scale
+        assert err < 5e-3, (
+            f"gradient diverges for {'/'.join(path)}: rel-max {err:.3e}"
+        )
+        checked += 1
+    assert checked > 0
 
 
 def test_hdf5_checkpoint_roundtrip():

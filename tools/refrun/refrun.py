@@ -101,11 +101,29 @@ def cmd_dump(args):
         gnn_input, training=False, return_all_representations=True
     )
     task_output = model(tff, training=False)
+    tfl = {k: tf.constant(v) for k, v in labels.items()}
     metrics = model.compute_task_metrics(
-        batch_features=tff,
-        task_output=task_output,
-        batch_labels={k: tf.constant(v) for k, v in labels.items()},
+        batch_features=tff, task_output=task_output, batch_labels=tfl
     )
+
+    # Loss gradients at the initial point (training=False so dropout is off
+    # and the gradient is deterministic) — backward-parity ground truth.
+    with tf.GradientTape() as tape:
+        out = model(tff, training=False)
+        grad_metrics = model.compute_task_metrics(
+            batch_features=tff, task_output=out, batch_labels=tfl
+        )
+    grads = tape.gradient(grad_metrics["loss"], model.trainable_variables)
+    grad_arrays = {}
+    for var, grad in zip(model.trainable_variables, grads):
+        if grad is not None:
+            g = grad.values if isinstance(grad, tf.IndexedSlices) else grad
+            dense = np.zeros(var.shape, dtype=np.float32)
+            if isinstance(grad, tf.IndexedSlices):
+                np.add.at(dense, np.asarray(grad.indices), np.asarray(g))
+            else:
+                dense = np.asarray(g)
+            grad_arrays[f"grad::{var.name}"] = dense
 
     arrays = {}
     for k, v in features.items():
@@ -121,6 +139,7 @@ def cmd_dump(args):
     else:
         arrays["task_output"] = np.asarray(task_output)
     arrays["loss"] = np.asarray(metrics["loss"])
+    arrays.update(grad_arrays)
     for var in model.variables:
         arrays[f"var::{var.name}"] = var.value().numpy()
     meta = {
@@ -147,13 +166,33 @@ def cmd_train(args):
         data_overrides=json.loads(args.data_overrides or "{}"),
     )
     os.makedirs(args.out, exist_ok=True)
+    from tf2_gnn.cli_utils.model_utils import save_model
+
+    # Initial weights BEFORE any training — lets the TPU framework start from
+    # the identical parameter point for trajectory comparison.
+    save_model(os.path.join(args.out, "ckpt_init.pkl"), model, dataset)
     train_data = dataset.get_tensorflow_dataset(
         DataFold.TRAIN, use_worker_threads=False
     )
     valid_data = dataset.get_tensorflow_dataset(
         DataFold.VALIDATION, use_worker_threads=False
     )
-    trajectory = []
+    # Initial (untrained) validation metrics — the reference README's own
+    # first reported number is this quantity (README.md:44).
+    init_loss, _, init_results = model.run_one_epoch(
+        valid_data, training=False, quiet=True
+    )
+    init_metric, init_desc = model.compute_epoch_metrics(init_results)
+    print(json.dumps({"epoch": -1, "valid_loss": float(init_loss),
+                      "valid_metric": float(init_metric), "valid_desc": init_desc}))
+    trajectory = [
+        {
+            "epoch": -1,
+            "valid_loss": float(init_loss),
+            "valid_metric": float(init_metric),
+            "valid_desc": init_desc,
+        }
+    ]
     for epoch in range(args.epochs):
         t0 = time.time()
         train_loss, train_speed, train_results = model.run_one_epoch(
