@@ -100,7 +100,10 @@ def get_model_and_dataset_from_args(
         dataset_params = apply_hyperdrive_overrides(dataset_params, hyperdrive_overrides)
         model_params = apply_hyperdrive_overrides(model_params, hyperdrive_overrides)
 
-    dataset = dataset_cls(dataset_params)
+    dataset = dataset_cls(
+        dataset_params,
+        use_worker_threads=getattr(args, "use_worker_threads", False),
+    )
     dataset.load_data(args.data_path, {DataFold.TRAIN, DataFold.VALIDATION})
     model = model_cls.from_params(model_params, dataset)
     return model, model_params, dataset
@@ -265,6 +268,11 @@ def get_train_cli_arg_parser() -> argparse.ArgumentParser:
                         help="Capture a jax.profiler trace of the training run "
                              "into this directory (view with "
                              "TensorBoard/XProf).")
+    parser.add_argument("--no-worker-threads", dest="use_worker_threads",
+                        action="store_false", default=True,
+                        help="Disable background-thread batch assembly "
+                             "(reference default pipeline: worker thread + "
+                             "prefetch, graph_dataset.py:292-297).")
     parser.add_argument("--quiet", action="store_true", default=False)
     parser.add_argument("--debug", action="store_true", default=False,
                         help="Drop into pdb post-mortem on exceptions.")

@@ -128,30 +128,82 @@ def _to_host(metrics: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in metrics.items()}
 
 
+def device_prefetch(
+    batches: Iterable, depth: int = 2
+) -> Iterable:
+    """Asynchronously stage upcoming batches on device.
+
+    ``jax.device_put`` is async: while the device executes step k, the
+    transfer of batch k+1 is already in flight, hiding H2D latency the way
+    the reference hides host packing with ``.prefetch(3)``
+    (graph_dataset.py:292-297). Composes with the dataset's worker-thread
+    batch assembly (data/prefetch.py) for a full host->transfer->compute
+    pipeline.
+    """
+    import collections
+
+    import jax
+
+    iterator = iter(batches)
+    buffer: "collections.deque" = collections.deque()
+
+    def stage():
+        try:
+            buffer.append(jax.device_put(next(iterator)))
+            return True
+        except StopIteration:
+            return False
+
+    for _ in range(depth):
+        if not stage():
+            break
+    while buffer:
+        item = buffer.popleft()
+        stage()
+        yield item
+
+
 def run_train_epoch(
     train_step,
     state: TrainState,
     batches: Iterable[Tuple[GraphBatch, Dict[str, np.ndarray]]],
     quiet: bool = True,
     log_fun: Callable[[str], None] = print,
+    prefetch_depth: int = 2,
 ) -> Tuple[TrainState, float, float, List[Dict[str, np.ndarray]]]:
-    """One training epoch; returns (state, per-graph avg loss, graphs/s, results)."""
+    """One training epoch; returns (state, per-graph avg loss, graphs/s, results).
+
+    The loop is fully pipelined: batches are staged on device ahead of time
+    (``device_prefetch``) and per-step metrics stay on device until the end
+    of the epoch, so quiet training never synchronises host<->device inside
+    the epoch. Non-quiet logging forces a per-step sync (diagnostics path).
+    """
     start = time.time()
-    total_loss, total_graphs = 0.0, 0
-    results: List[Dict[str, np.ndarray]] = []
-    for step, (batch, labels) in enumerate(batches):
+    device_metrics: List[Dict[str, jnp.ndarray]] = []
+    step_num_graphs: List[jnp.ndarray] = []
+    running_loss, running_graphs = 0.0, 0
+    for step, (batch, labels) in enumerate(
+        device_prefetch(batches, depth=prefetch_depth)
+    ):
         state, metrics = train_step(state, batch, labels)
-        metrics = _to_host(metrics)
-        num_graphs = int(metrics.get("num_graphs", np.asarray(batch.num_graphs)))
-        total_loss += float(metrics["loss"]) * num_graphs
-        total_graphs += num_graphs
-        results.append(metrics)
+        device_metrics.append(metrics)
+        step_num_graphs.append(metrics.get("num_graphs", batch.num_graphs))
         if not quiet:
+            host = _to_host(metrics)
+            num_graphs = int(np.asarray(step_num_graphs[-1]))
+            running_loss += float(host["loss"]) * num_graphs
+            running_graphs += num_graphs
             log_fun(
-                f"   Step {step:4d} | batch loss {float(metrics['loss']):.5f} "
-                f"| epoch avg {total_loss / max(total_graphs, 1):.5f}"
+                f"   Step {step:4d} | batch loss {float(host['loss']):.5f} "
+                f"| epoch avg {running_loss / max(running_graphs, 1):.5f}"
             )
+    results = [_to_host(m) for m in device_metrics]
     elapsed = max(time.time() - start, 1e-9)
+    graph_counts = [int(np.asarray(g)) for g in step_num_graphs]
+    total_loss = sum(
+        float(m["loss"]) * g for m, g in zip(results, graph_counts)
+    )
+    total_graphs = sum(graph_counts)
     return state, total_loss / max(total_graphs, 1), total_graphs / elapsed, results
 
 
