@@ -31,7 +31,7 @@ TIMED_STEPS_BASE = 10
 TIMED_STEPS_FULL = 30
 
 
-def build_batch(seed: int, use_pallas: bool = True):
+def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False):
     from tf2_gnn_tpu.data.graph_batch import (
         PaddingConfig,
         pad_batch_arrays,
@@ -85,6 +85,17 @@ def build_batch(seed: int, use_pallas: bool = True):
             NODE_BUDGET,
         )
         batch = batch.replace(scatter_plans=plan.astuple())
+    if use_pairs:
+        from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans
+
+        pairs = build_pair_plans(
+            [np.asarray(s_) for s_ in batch.edge_sources],
+            [np.asarray(t_) for t_ in batch.edge_targets],
+            [int(c) for c in np.asarray(batch.num_edges)],
+            NODE_BUDGET,
+            overflow_budget=256,
+        )
+        batch = batch.replace(pair_plans=pairs.astuple())
     labels = {
         "node_labels": pad_node_label_array(
             (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET
@@ -95,6 +106,8 @@ def build_batch(seed: int, use_pallas: bool = True):
 
 
 def main():
+    import sys
+
     import jax
 
     from tf2_gnn_tpu.harness.optimizers import make_optimizer
@@ -104,7 +117,11 @@ def main():
     # The shipped PPI_RGCN configuration (tf2-gnn default_hypers/PPI_RGCN.json
     # == harness/default_hypers/PPI_RGCN.json): 4 layers, hidden 320,
     # normalize-by-incoming, input dropout 0.1, and dense/residual/global-
-    # exchange all disabled (every_num_layers=10000).
+    # exchange all disabled (every_num_layers=10000). The edge stream runs the
+    # gather-free block-pair kernel in bfloat16 (ops/pair_spmm.py), matching
+    # the shipped config's use_pair_spmm/edge_dtype settings; pass --no-pairs
+    # to time the sorted gather+scatter path instead.
+    use_pairs = "--no-pairs" not in sys.argv
     params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
     params.update(
         {
@@ -118,9 +135,11 @@ def main():
             "learning_rate": 0.001,
         }
     )
+    if use_pairs:
+        params["gnn_edge_dtype"] = "bfloat16"
     model = NodeMulticlassTask.from_params(params)
 
-    batches = [build_batch(seed) for seed in range(2)]
+    batches = [build_batch(seed, use_pairs=use_pairs) for seed in range(2)]
     edges_per_step = batches[0][2]
 
     optimizer = make_optimizer(params)

@@ -148,6 +148,58 @@ def test_bf16_edge_dtype_close_to_f32(tmp_path):
                                rtol=0.05, atol=0.05)
 
 
+def _pair_dataset(tmp_path):
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update(
+        {
+            "num_fwd_edge_types": 1,
+            "max_nodes_per_batch": 40,
+            "use_pair_spmm": True,
+        }
+    )
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    return ds
+
+
+def test_pair_batches_carry_plans(tmp_path):
+    ds = _pair_dataset(tmp_path)
+    assert ds.padding_config.pair_chunks_fwd is not None
+    batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch.pair_plans is not None
+    assert len(batch.pair_plans) == 10  # PairPlans.astuple()
+    assert batch.scatter_plans is None  # pair mode alone doesn't build these
+
+
+@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin"])
+def test_pair_path_matches_standard(tmp_path, flavour):
+    """The block-pair kernel path is a pure drop-in for the source-table
+    flavours: same params, outputs, and gradients as the plain XLA path."""
+    ds = _pair_dataset(tmp_path)
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    batch_plain = batch_pair.replace(pair_plans=None)
+
+    hp = GNN.get_default_hyperparameters(flavour)
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_pair = jax.grad(loss)(variables, batch_pair)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
 def test_fused_path_with_empty_edge_type(tmp_path):
     """A type with zero real edges (all-sentinel chunks) must aggregate to 0."""
     write_jsonl_property_dataset(tmp_path)

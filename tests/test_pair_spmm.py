@@ -1,0 +1,188 @@
+"""Block-pair SpMM planner + fallback + VJP equivalence (ops/pair_spmm.py).
+
+CPU tests exercise the planner and the jnp fallback (the Pallas kernel is
+numerically equivalence-tested on TPU hardware — see benchmarks/pair_probe.py
+and the TPU-gated test at the bottom).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.ops import pair_spmm as ps
+
+
+def _random_edges(rng, num_types, v, avg_deg=6, clusters=True):
+    """Random per-type edge lists; with clusters=True, block-diagonal-ish
+    (like packed disconnected graphs)."""
+    srcs, tgts, counts = [], [], []
+    for _ in range(num_types):
+        e = rng.randint(v // 2, v * avg_deg)
+        if clusters:
+            centers = rng.randint(0, v, max(e // 50, 1))
+            base = centers[rng.randint(0, len(centers), e)]
+            src = np.clip(base + rng.randint(-64, 64, e), 0, v - 1)
+            tgt = np.clip(base + rng.randint(-64, 64, e), 0, v - 1)
+        else:
+            src = rng.randint(0, v, e)
+            tgt = rng.randint(0, v, e)
+        budget = ((e + 63) // 64) * 64
+        s = np.full((budget,), v - 1, np.int32)
+        t = np.full((budget,), v - 1, np.int32)
+        s[:e], t[:e] = src, tgt
+        srcs.append(s)
+        tgts.append(t)
+        counts.append(e)
+    return srcs, tgts, counts
+
+
+def _reference(tables, srcs, tgts, counts, scale_full, v):
+    """Plain XLA semantics: sum over real edges of scale * tables[l*V+u]."""
+    out = np.zeros((v, tables.shape[1]), np.float64)
+    for l, (s, t, c) in enumerate(zip(srcs, tgts, counts)):
+        rows = np.asarray(tables, np.float64)[l * v + s[:c]]
+        w = scale_full[l * v + t[:c]]
+        np.add.at(out, t[:c], rows * w[:, None])
+    return out
+
+
+def _scales_for(plans_tuple, inv_flat, v, src_space):
+    """Per-slot scales for both directions + overflow (1/deg-style lookup)."""
+    plans = ps.PairPlans.fromtuple(plans_tuple)
+    inv = jnp.asarray(inv_flat)
+
+    srcabs, tgtabs, valid = ps.pair_slot_abs_ids(plans_tuple, "fwd")
+    ltype = srcabs // src_space
+    scale_fwd = jnp.take(inv, ltype * v + tgtabs, mode="clip") * valid
+
+    srcabs_b, tgtabs_b, valid_b = ps.pair_slot_abs_ids(plans_tuple, "bwd")
+    ltype_b = tgtabs_b // src_space
+    scale_bwd = jnp.take(inv, ltype_b * v + srcabs_b, mode="clip") * valid_b
+
+    ovf_src = jnp.asarray(plans.ovf_src)
+    ovf_tgt = jnp.asarray(plans.ovf_tgt)
+    ovf_valid = (ovf_tgt < v).astype(jnp.float32)
+    ovf_l = ovf_src // src_space
+    ovf_scale = jnp.take(inv, ovf_l * v + jnp.minimum(ovf_tgt, v - 1),
+                         mode="clip") * ovf_valid
+    return scale_fwd, scale_bwd, ovf_scale
+
+
+@pytest.mark.parametrize("clusters", [True, False])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pair_plan_fwd_matches_reference(seed, clusters):
+    rng = np.random.RandomState(seed)
+    v, num_types, h = 512, 3, 24
+    srcs, tgts, counts = _random_edges(rng, num_types, v, clusters=clusters)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v)
+    tables = rng.randn(num_types * v, h).astype(np.float32)
+    scale_full = (0.5 + rng.rand(num_types * v)).astype(np.float32)
+
+    sf, sb, so = _scales_for(plans.astuple(), scale_full, v, v)
+    out = ps.pair_typed_gather_scatter(
+        jnp.asarray(tables), sf, sb, so, *plans.astuple(), v
+    )
+    ref = _reference(tables, srcs, tgts, counts, scale_full, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pair_plan_gradient_matches_xla():
+    rng = np.random.RandomState(7)
+    v, num_types, h = 384, 2, 16
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v)
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    scale_full = (0.5 + rng.rand(num_types * v)).astype(np.float32)
+    sf, sb, so = _scales_for(plans.astuple(), scale_full, v, v)
+    cot = jnp.asarray(rng.randn(v, h).astype(np.float32))
+
+    def via_pairs(t):
+        out = ps.pair_typed_gather_scatter(t, sf, sb, so, *plans.astuple(), v)
+        return jnp.vdot(out, cot)
+
+    def via_xla(t):
+        acc = jnp.zeros((v, h))
+        for l in range(num_types):
+            c = counts[l]
+            rows = jnp.take(t, l * v + srcs[l][:c], axis=0, mode="clip")
+            w = jnp.take(jnp.asarray(scale_full), l * v + tgts[l][:c],
+                         mode="clip")
+            acc = acc + jax.ops.segment_sum(
+                rows * w[:, None], tgts[l][:c], num_segments=v
+            )
+        return jnp.vdot(acc, cot)
+
+    g_pairs = jax.grad(via_pairs)(tables)
+    g_xla = jax.grad(via_xla)(tables)
+    np.testing.assert_allclose(np.asarray(g_pairs), np.asarray(g_xla),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pair_plan_overflow_spill_exact():
+    """A tiny chunk budget forces spilling; result must stay exact."""
+    rng = np.random.RandomState(3)
+    v, num_types, h = 512, 2, 8
+    srcs, tgts, counts = _random_edges(rng, num_types, v, clusters=False)
+    total = sum(counts)
+    plans = ps.build_pair_plans(
+        srcs, tgts, counts, v,
+        chunk_budget_fwd=ps.GROUP * 4, chunk_budget_bwd=ps.GROUP * 4,
+        overflow_budget=((total + 63) // 64) * 64,
+    )
+    assert int(np.sum(np.asarray(plans.ovf_tgt) < v)) > 0  # actually spilled
+    tables = rng.randn(num_types * v, h).astype(np.float32)
+    scale_full = np.ones((num_types * v,), np.float32)
+    sf, sb, so = _scales_for(plans.astuple(), scale_full, v, v)
+    out = ps.pair_typed_gather_scatter(
+        jnp.asarray(tables), sf, sb, so, *plans.astuple(), v
+    )
+    ref = _reference(tables, srcs, tgts, counts, scale_full, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pair_plan_overflow_budget_error():
+    rng = np.random.RandomState(4)
+    v = 512
+    srcs, tgts, counts = _random_edges(rng, 1, v, clusters=False)
+    with pytest.raises(ValueError, match="overflow budget"):
+        ps.build_pair_plans(srcs, tgts, counts, v,
+                            chunk_budget_fwd=ps.GROUP,
+                            chunk_budget_bwd=ps.GROUP,
+                            overflow_budget=8)
+
+
+def test_pair_plan_empty_edges():
+    v, h = 256, 8
+    srcs = [np.full((64,), v - 1, np.int32)]
+    tgts = [np.full((64,), v - 1, np.int32)]
+    plans = ps.build_pair_plans(srcs, tgts, [0], v)
+    tables = jnp.asarray(np.random.randn(v, h).astype(np.float32))
+    zeros = jnp.zeros((plans.fwd.rel_src.size,), jnp.float32)
+    zeros_b = jnp.zeros((plans.bwd.rel_src.size,), jnp.float32)
+    ovf0 = jnp.zeros((plans.ovf_src.shape[0],), jnp.float32)
+    out = ps.pair_typed_gather_scatter(
+        tables, zeros + 1.0, zeros_b + 1.0, ovf0, *plans.astuple(), v
+    )
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_pair_chunk_budget_formula():
+    b = ps.pair_chunk_budget(1000, 512)
+    assert b % ps.GROUP == 0
+    assert b * ps.E_C >= 2 * 1000  # default inflation 2x
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel runs on TPU only")
+def test_pair_kernel_matches_fallback_on_tpu():
+    rng = np.random.RandomState(0)
+    v, num_types, h = 512, 3, 320
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v)
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    p = plans.fwd
+    scale = jnp.ones((p.rel_src.size,), jnp.float32)
+    dev = ps.pair_spmm(tables, scale, *p, v, interpret=False)
+    ref = ps.pair_spmm(tables, scale, *p, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)

@@ -31,6 +31,11 @@ class PaddingConfig:
     num_nodes: int = struct.field(pytree_node=False)
     num_graphs: int = struct.field(pytree_node=False)
     edge_budgets: Tuple[int, ...] = struct.field(pytree_node=False)
+    # Static chunk budgets for the block-pair SpMM plans (ops/pair_spmm.py);
+    # None when the dataset does not build pair plans.
+    pair_chunks_fwd: Optional[int] = struct.field(pytree_node=False, default=None)
+    pair_chunks_bwd: Optional[int] = struct.field(pytree_node=False, default=None)
+    pair_overflow: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_edge_types(self) -> int:
@@ -74,6 +79,11 @@ class GraphBatch:
     # MergedScatterPlan.astuple() — 10 int32 arrays). Built by the batcher
     # when the dataset enables ``use_pallas_spmm``.
     scatter_plans: Optional[Tuple[jnp.ndarray, ...]] = None
+    # Optional block-pair plan (ops/pair_spmm.py PairPlans.astuple() — 10
+    # int32 arrays) for the gather-free pair SpMM kernel. Built when the
+    # dataset enables ``use_pair_spmm``; preferred over ``scatter_plans`` by
+    # the source-table fused paths when the table fits VMEM.
+    pair_plans: Optional[Tuple[jnp.ndarray, ...]] = None
 
     # ---- static shape accessors -------------------------------------------------
     @property

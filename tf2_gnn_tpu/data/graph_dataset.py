@@ -80,6 +80,13 @@ class GraphDataset(ABC):
             # Build dual scatter plans per batch so sum-aggregation flavours
             # run the fused Pallas gather/scatter kernel (ops/spmm_pallas.py).
             "use_pallas_spmm": False,
+            # Additionally build block-pair plans (ops/pair_spmm.py): the
+            # gather-free pair kernel replaces gather+scatter with MXU
+            # one-hot matmuls and is preferred by the source-table fused
+            # paths. Edges that don't fit the derived chunk budget spill
+            # into an XLA fallback term sized by 'pair_overflow_budget'.
+            "use_pair_spmm": False,
+            "pair_overflow_budget": 2048,
         }
 
     def __init__(
@@ -208,8 +215,9 @@ class GraphDataset(ABC):
         node_budget = int(self._params["max_nodes_per_batch"])
         slack = float(self._params["padding_slack"])
         align = int(self._params["padding_alignment"])
-        if self._params.get("use_pallas_spmm"):
-            # The Pallas scatter kernel tiles nodes in BLOCK_NODES rows.
+        use_pairs = bool(self._params.get("use_pair_spmm"))
+        if self._params.get("use_pallas_spmm") or use_pairs:
+            # The Pallas kernels tile nodes in BLOCK_NODES rows.
             from ..ops.spmm_pallas import BLOCK_NODES
 
             node_budget = _round_up(node_budget, BLOCK_NODES)
@@ -217,6 +225,7 @@ class GraphDataset(ABC):
         max_edges_per_batch = [0] * self.num_edge_types
         max_edges_per_graph = [0] * self.num_edge_types
         max_graphs_per_batch = 0
+        max_pair_fwd, max_pair_bwd = 0, 0
 
         for fold in self._loaded_folds():
             graphs = self._graphs_in_fold(fold)
@@ -239,6 +248,27 @@ class GraphDataset(ABC):
                     max_edges_per_batch[edge_type] = max(
                         max_edges_per_batch[edge_type], total
                     )
+                if use_pairs:
+                    from ..ops.pair_spmm import measure_pair_chunks
+
+                    offsets = np.cumsum(
+                        [0] + [b.num_nodes for b in batch]
+                    )[:-1]
+                    srcs, tgts, counts = [], [], []
+                    for t in range(self.num_edge_types):
+                        adj = [
+                            b.adjacency_lists[t] + off
+                            for b, off in zip(batch, offsets)
+                            if b.adjacency_lists[t].shape[0]
+                        ]
+                        merged = (np.concatenate(adj) if adj
+                                  else np.zeros((0, 2), np.int64))
+                        srcs.append(merged[:, 0])
+                        tgts.append(merged[:, 1])
+                        counts.append(merged.shape[0])
+                    f, b_ = measure_pair_chunks(srcs, tgts, counts, node_budget)
+                    max_pair_fwd = max(max_pair_fwd, f)
+                    max_pair_bwd = max(max_pair_bwd, b_)
 
         if max_graphs_per_batch == 0:
             raise ValueError("Cannot derive padding config: no data loaded.")
@@ -250,10 +280,21 @@ class GraphDataset(ABC):
             for t in range(self.num_edge_types)
         )
         graph_budget = int(max_graphs_per_batch * slack) + 2
+        pair_kwargs = {}
+        if use_pairs:
+            from ..ops.pair_spmm import GROUP
+
+            pair_kwargs = {
+                "pair_chunks_fwd": _round_up(int(max_pair_fwd * slack), GROUP),
+                "pair_chunks_bwd": _round_up(int(max_pair_bwd * slack), GROUP),
+                "pair_overflow": int(self._params.get("pair_overflow_budget",
+                                                      2048)),
+            }
         return PaddingConfig(
             num_nodes=node_budget,
             num_graphs=graph_budget,
             edge_budgets=edge_budgets,
+            **pair_kwargs,
         )
 
     # ---- batch assembly hooks (subclass extension points) ----------------------
@@ -306,6 +347,17 @@ class GraphDataset(ABC):
                 sources, targets, real_counts, v_pad
             ).astuple()
 
+        pair_plans = None
+        if self._params.get("use_pair_spmm"):
+            from ..ops.pair_spmm import build_pair_plans
+
+            pair_plans = build_pair_plans(
+                sources, targets, real_counts, v_pad,
+                chunk_budget_fwd=config.pair_chunks_fwd,
+                chunk_budget_bwd=config.pair_chunks_bwd,
+                overflow_budget=config.pair_overflow or 2048,
+            ).astuple()
+
         graph_batch = GraphBatch(
             node_features=node_features,
             edge_sources=tuple(sources),
@@ -316,6 +368,7 @@ class GraphDataset(ABC):
             num_graphs=np.int32(len(batch_graphs)),
             num_graphs_padded=config.num_graphs,
             scatter_plans=scatter_plans,
+            pair_plans=pair_plans,
         )
         return graph_batch, self._batch_label_arrays(batch_graphs, config)
 

@@ -16,6 +16,15 @@ PathLike = Union[str, Path]
 
 
 def read_by_file_suffix(path: PathLike) -> Any:
+    if isinstance(path, str) and path.startswith("azure://"):
+        # The reference reads azure:// URIs via dpu-utils' AzurePath
+        # (tf2_gnn/data/graph_dataset.py:7). This framework is filesystem
+        # only; stage the container locally (e.g. azcopy) and point at it.
+        raise NotImplementedError(
+            f"azure:// paths are not supported ({path}). Download the "
+            "container to a local directory (e.g. with azcopy or "
+            "azure-storage-blob) and pass that path instead."
+        )
     path = Path(path)
     name = path.name
     if name.endswith(".jsonl.gz"):

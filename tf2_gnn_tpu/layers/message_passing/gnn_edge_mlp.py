@@ -127,11 +127,45 @@ class GNN_Edge_MLP(MessagePassing):
 
     def _fused_plan_applicable(self, batch: GraphBatch) -> bool:
         return not (
-            batch.scatter_plans is None
+            (batch.scatter_plans is None and batch.pair_plans is None)
             or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or (self._apply_message_activation
                 and self.message_activation_before_aggregation)
+        )
+
+    def _pair_path_applicable(self, batch: GraphBatch, tables) -> bool:
+        """The gather-free block-pair kernel needs plans, a VMEM-resident
+        table tile, and (for now) the non-SPMD path."""
+        from ...ops.pair_spmm import pair_kernel_applicable
+
+        return (
+            batch.pair_plans is not None
+            and batch.spmd_axis is None
+            and pair_kernel_applicable(tables.shape[0], tables.dtype)
+        )
+
+    def _pair_sum_aggregate(self, tables: jnp.ndarray, batch: GraphBatch):
+        """Gather-free block-pair kernel over the stacked [L*V, H] tables
+        (ops/pair_spmm.py): both the per-edge gather and the scatter become
+        MXU matmuls against one-hot factors, with the 1/deg normalisation
+        folded into the one-hot scales."""
+        from ...ops.pair_spmm import (
+            pair_normalisation_scales,
+            pair_typed_gather_scatter,
+            pair_unit_scales,
+        )
+        from ...utils.constants import SMALL_NUMBER
+
+        v = batch.num_nodes_padded
+        if self.normalize_by_num_incoming:
+            deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
+            inv = 1.0 / (deg_flat + SMALL_NUMBER)
+            sf, sb, so = pair_normalisation_scales(batch.pair_plans, inv, v)
+        else:
+            sf, sb, so = pair_unit_scales(batch.pair_plans, v)
+        return pair_typed_gather_scatter(
+            tables, sf, sb, so, *batch.pair_plans, v
         )
 
     def _fused_normalisation_scales(self, batch: GraphBatch, plan):
@@ -180,15 +214,17 @@ class GNN_Edge_MLP(MessagePassing):
             typed_gather_scatter,
         )
 
-        plan = PlanView(batch.scatter_plans)
         num_types = batch.num_edge_types
         v = batch.num_nodes_padded
 
         if not self.use_target_state_as_input:
-            tables = self._globalize_tables(
-                self._fused_node_space_tables(node_states, batch), batch,
-                num_types,
-            )
+            tables = self._fused_node_space_tables(node_states, batch)
+            if self._pair_path_applicable(batch, tables):
+                return self._pair_sum_aggregate(tables, batch)
+            if batch.scatter_plans is None:
+                return None
+            plan = PlanView(batch.scatter_plans)
+            tables = self._globalize_tables(tables, batch, num_types)
             if self.normalize_by_num_incoming:
                 scale_fwd, scale_bwd = self._fused_normalisation_scales(
                     batch, plan
@@ -206,6 +242,9 @@ class GNN_Edge_MLP(MessagePassing):
         # math free of per-type matmuls (msg = W_src h_u + W_tgt h_v).
         if self.num_edge_MLP_hidden_layers != 0 or not self.fused_target_gather:
             return None
+        if batch.scatter_plans is None:
+            return None
+        plan = PlanView(batch.scatter_plans)
         in_dim = node_states.shape[-1]
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_src_0")(node_states)

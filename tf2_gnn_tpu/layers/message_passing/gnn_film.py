@@ -46,6 +46,7 @@ class GNN_FiLM(GNN_Edge_MLP):
         (merged-target-plan) target gather + the gamma*msg+beta fuse in XLA,
         then the sorted MXU scatter."""
         if (not self._fused_plan_applicable(batch)
+                or batch.scatter_plans is None
                 or self.use_target_state_as_input
                 or not self.fused_target_gather):
             return None

@@ -17,11 +17,9 @@ from ..utils.constants import SMALL_NUMBER
 from .graph_task_model import GraphTaskModel
 
 
-def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
-                    mask: jnp.ndarray, spmd_axis=None) -> jnp.ndarray:
-    """Micro-averaged F1 over real nodes (reference micro_f1,
-    node_multiclass_task.py:10-23, with padding masked out). In SPMD mode the
-    TP/FP/FN counts are psum-ed over the mesh axis before the ratio."""
+def masked_f1_counts(logits: jnp.ndarray, labels: jnp.ndarray,
+                     mask: jnp.ndarray, spmd_axis=None):
+    """(TP, FP, FN) over real nodes, psum-ed over the mesh axis in SPMD."""
     # round(sigmoid(x)) == (x > 0), exactly — skip the transcendental.
     predicted = (logits > 0.0).astype(logits.dtype) * mask[:, None]
     labels = labels * mask[:, None]
@@ -32,9 +30,20 @@ def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
         true_pos = jax.lax.psum(true_pos, spmd_axis)
         false_pos = jax.lax.psum(false_pos, spmd_axis)
         false_neg = jax.lax.psum(false_neg, spmd_axis)
+    return true_pos, false_pos, false_neg
+
+
+def f1_from_counts(true_pos, false_pos, false_neg):
     precision = true_pos / jnp.maximum(true_pos + false_pos, SMALL_NUMBER)
     recall = true_pos / jnp.maximum(true_pos + false_neg, SMALL_NUMBER)
     return (2.0 * precision * recall) / jnp.maximum(precision + recall, SMALL_NUMBER)
+
+
+def masked_micro_f1(logits: jnp.ndarray, labels: jnp.ndarray,
+                    mask: jnp.ndarray, spmd_axis=None) -> jnp.ndarray:
+    """Micro-averaged F1 over real nodes (reference micro_f1,
+    node_multiclass_task.py:10-23, with padding masked out)."""
+    return f1_from_counts(*masked_f1_counts(logits, labels, mask, spmd_axis))
 
 
 class NodeMulticlassTask(GraphTaskModel):
@@ -83,11 +92,23 @@ class NodeMulticlassTask(GraphTaskModel):
             num_nodes = jax.lax.psum(num_nodes, batch.spmd_axis)
         loss = loss_sum / jnp.maximum(num_nodes, 1.0)
 
-        f1 = masked_micro_f1(per_node_logits, node_labels, mask,
-                             spmd_axis=batch.spmd_axis)
-        return {"loss": loss, "f1_score": f1, "num_graphs": num_graphs}
+        tp, fp, fn = masked_f1_counts(per_node_logits, node_labels, mask,
+                                      spmd_axis=batch.spmd_axis)
+        f1 = f1_from_counts(tp, fp, fn)
+        return {"loss": loss, "f1_score": f1, "num_graphs": num_graphs,
+                "f1_tp": tp, "f1_fp": fp, "f1_fn": fn}
 
     @staticmethod
     def compute_epoch_metrics(task_results: List[Dict[str, Any]]) -> Tuple[float, str]:
+        # Selection metric: unweighted mean of batch F1s (reference parity,
+        # node_multiclass_task.py:70-72). Also report the exact epoch-level
+        # micro-F1 from the pooled TP/FP/FN counts — batches differ in node
+        # count, so the batch mean is biased by small trailing batches.
         avg_f1 = float(np.average([float(r["f1_score"]) for r in task_results]))
-        return -avg_f1, f"Avg MicroF1: {avg_f1:.3f}"
+        tp = float(np.sum([float(r.get("f1_tp", 0.0)) for r in task_results]))
+        fp = float(np.sum([float(r.get("f1_fp", 0.0)) for r in task_results]))
+        fn = float(np.sum([float(r.get("f1_fn", 0.0)) for r in task_results]))
+        precision = tp / max(tp + fp, SMALL_NUMBER)
+        recall = tp / max(tp + fn, SMALL_NUMBER)
+        exact_f1 = 2.0 * precision * recall / max(precision + recall, SMALL_NUMBER)
+        return -avg_f1, f"Avg MicroF1: {avg_f1:.3f} (exact epoch MicroF1: {exact_f1:.3f})"

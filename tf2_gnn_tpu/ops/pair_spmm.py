@@ -1,0 +1,549 @@
+"""Block-pair fused gather+scatter SpMM — the Pallas fast path for
+``out[v] = sum over edges e=(u -> v) of scale_e * table[src_e]``.
+
+The sorted-scatter kernel (spmm_pallas.py) feeds on an XLA row gather that is
+row-rate limited on TPU (measured 36 GB/s bf16 / 95 GB/s f32 payload,
+benchmarks/kernel_micro.py) and dominates the train step. This module removes
+the gather entirely:
+
+* the host sorts real edges by (target-block, source-block) and pads each
+  pair's edges into chunks of ``E_C`` slots (batched disconnected graphs are
+  near block-diagonal, so pair inflation is small — 1.4-1.7x on the
+  PPI-shaped bench),
+* the kernel keeps the whole node table FEATURE TILE resident in VMEM (one
+  DMA per tile pass) and per chunk computes, entirely on the MXU,
+
+      A    = (onehot_tgt * scale) @ onehot_src        # [BLK, BLK]
+      out += A @ table[src_block]                     # [BLK, TILE]
+
+  i.e. both the gather and the scatter become matmuls against one-hot
+  factors built from broadcasted-iota compares. ``GROUP`` chunks sharing one
+  target block execute per grid step to amortise per-step overhead
+  (unroll16: 0.71 ms vs 3.96 ms for gather+scatter on the PPI bench —
+  benchmarks/pair_probe.py).
+* edges that don't fit the static chunk budget (low-density structure)
+  spill into a small XLA gather/segment-sum overflow term, so any graph is
+  handled; the planner reports the spill so callers can disable the path
+  for datasets where it dominates.
+
+The backward pass is the same kernel with source/target roles swapped
+(d_table = A^T @ g), driven by a second plan sorted by source block.
+
+Replaces the hot loop at reference message_passing.py:166-179 +
+embedding_lookup:197-202 for sum aggregation.
+"""
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spmm_pallas import BLOCK_NODES as BLK
+
+E_C = 128    # edge slots per chunk (one (tgt_block, src_block) pair each)
+GROUP = 16   # chunks per grid step (all sharing one target block)
+TILE = 128   # feature tile; the wrapper pads H to a multiple of TILE
+# The table feature tile must stay resident in VMEM; above this budget the
+# caller should fall back to the sorted-scatter path (row-splitting is the
+# future extension for huge tables).
+VMEM_TABLE_BUDGET_BYTES = 11 * 1024 * 1024
+
+
+class PairPlan(NamedTuple):
+    """Host-built plan for one direction of the pair kernel.
+
+    ``rel_*`` use sentinel ``BLK`` on padded slots (one-hot misses);
+    ``src_blk``/``grp_tgt`` address table/output blocks per chunk/group.
+    Absolute slot ids are reconstructed on device:
+    ``srcabs = src_blk[slot // E_C] * BLK + rel_src`` (invalid where
+    ``rel_src >= BLK``), likewise for targets via ``grp_tgt``.
+    """
+
+    rel_src: np.ndarray    # int32 [C, E_C]
+    rel_tgt: np.ndarray    # int32 [C, E_C]
+    src_blk: np.ndarray    # int32 [C]
+    grp_tgt: np.ndarray    # int32 [C // GROUP]
+
+
+class PairPlans(NamedTuple):
+    """Forward + backward plans + overflow edges for one batch.
+
+    The tuple form holds only arrays (they ride a GraphBatch as traced pytree
+    leaves); the host-side overflow count is not needed on device — padded
+    overflow slots carry scale 0 and target the discard row.
+    """
+
+    fwd: PairPlan          # out rows = num_nodes (scatter by target)
+    bwd: PairPlan          # out rows = table rows (gradient scatter by source)
+    ovf_src: np.ndarray    # int32 [OVF] merged source row ids (sentinel 0)
+    ovf_tgt: np.ndarray    # int32 [OVF] target ids (sentinel num_nodes)
+
+    def astuple(self) -> Tuple[np.ndarray, ...]:
+        return tuple(self.fwd) + tuple(self.bwd) + (self.ovf_src, self.ovf_tgt)
+
+    @classmethod
+    def fromtuple(cls, arrays) -> "PairPlans":
+        return cls(
+            PairPlan(*arrays[0:4]), PairPlan(*arrays[4:8]),
+            arrays[8], arrays[9],
+        )
+
+
+def pair_chunk_budget(total_edge_budget: int, out_rows: int,
+                      inflation: float = 2.0) -> int:
+    """Conservative static chunk budget: assumed slot inflation over real
+    edges plus worst-case group-alignment padding per output block run."""
+    dense = math.ceil(max(total_edge_budget, 1) * inflation / E_C)
+    runs = out_rows // BLK
+    return math.ceil((dense + runs) / GROUP) * GROUP + runs * GROUP
+
+
+def _plan_one_direction(
+    src: np.ndarray, tgt: np.ndarray, chunk_budget: Optional[int]
+) -> Tuple[Optional[PairPlan], np.ndarray]:
+    """Pair-chunk one direction. ``chunk_budget=None`` sizes the plan to the
+    data (single-batch use). Returns (plan, overflow_edge_mask) where the
+    mask marks input edges that did not fit the chunk budget (smallest pairs
+    are spilled first)."""
+    n = src.shape[0]
+    overflow_mask = np.zeros((n,), bool)
+
+    if n == 0:
+        chunk_budget = chunk_budget or GROUP
+        num_groups = chunk_budget // GROUP
+        rel = np.full((chunk_budget, E_C), BLK, np.int32)
+        plan = PairPlan(rel, rel.copy(),
+                        np.zeros((chunk_budget,), np.int32),
+                        np.zeros((num_groups,), np.int32))
+        return plan, overflow_mask
+
+    sb = src // BLK
+    tb = tgt // BLK
+    order = np.lexsort((sb, tb))
+    s_src, s_tgt, s_sb, s_tb = src[order], tgt[order], sb[order], tb[order]
+    pair = s_tb.astype(np.int64) * (int(sb.max()) + 2) + s_sb
+    change = np.flatnonzero(np.diff(pair)) + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [n])))
+    keep_pair = np.ones(starts.shape[0], bool)
+
+    def grouping(keep):
+        """Per-kept-pair chunk starts with tgt-run group alignment."""
+        p_tb = s_tb[starts[keep]]
+        p_chunks = (counts[keep] + E_C - 1) // E_C
+        # Runs of equal tgt block over kept pairs.
+        run_change = np.flatnonzero(np.diff(p_tb)) + 1
+        run_starts = np.concatenate(([0], run_change))
+        run_ends = np.concatenate((run_change, [p_tb.shape[0]]))
+        csum = np.concatenate(([0], np.cumsum(p_chunks)))
+        run_sizes = csum[run_ends] - csum[run_starts]
+        run_padded = ((run_sizes + GROUP - 1) // GROUP) * GROUP
+        run_base = np.concatenate(([0], np.cumsum(run_padded)))[:-1]
+        # Chunk start of each kept pair: run base + offset within run.
+        pair_run = np.repeat(np.arange(run_starts.shape[0]),
+                             run_ends - run_starts)
+        pair_off = csum[:-1] - csum[run_starts][pair_run]
+        chunk_start = run_base[pair_run] + pair_off
+        total = int(run_base[-1] + run_padded[-1]) if run_padded.size else 0
+        return chunk_start, p_chunks, total, p_tb, run_base, run_padded
+
+    chunk_start, p_chunks, total, p_tb, _, _ = grouping(keep_pair)
+    if chunk_budget is None:
+        chunk_budget = max(total, GROUP)
+    if total > chunk_budget:
+        # Spill smallest pairs (least dense => worst kernel value) until fit,
+        # dropping batches of pairs per re-grouping pass.
+        by_size = list(np.argsort(counts, kind="stable"))
+        while total > chunk_budget and by_size:
+            need = total - chunk_budget
+            acc = 0
+            while by_size and acc < need:
+                idx = by_size.pop(0)
+                if keep_pair[idx]:
+                    keep_pair[idx] = False
+                    acc += int((counts[idx] + E_C - 1) // E_C)
+            chunk_start, p_chunks, total, p_tb, _, _ = grouping(keep_pair)
+        if total > chunk_budget:  # pragma: no cover - all pairs spilled
+            keep_pair[:] = False
+            total = 0
+
+    rel_src = np.full((chunk_budget * E_C,), BLK, np.int32)
+    rel_tgt = np.full((chunk_budget * E_C,), BLK, np.int32)
+    src_blk = np.zeros((chunk_budget,), np.int32)
+    tgt_blk = np.zeros((chunk_budget,), np.int32)
+
+    kept_idx = np.flatnonzero(keep_pair)
+    if kept_idx.size:
+        kept_edge = np.repeat(keep_pair, counts)
+        e_counts = counts[kept_idx]
+        # Slot of each kept edge: pair chunk base * E_C + offset in pair.
+        offs = (np.arange(n) - np.repeat(starts, counts))[kept_edge]
+        slot = np.repeat(chunk_start, e_counts) * E_C + offs
+        rel_src[slot] = (s_src - s_sb * BLK)[kept_edge]
+        rel_tgt[slot] = (s_tgt - s_tb * BLK)[kept_edge]
+        # Chunk metadata: chunks of each pair are consecutive.
+        chunk_pair = np.full((chunk_budget,), -1, np.int64)
+        ch_idx = np.concatenate([
+            np.arange(cs, cs + pc) for cs, pc in zip(chunk_start, p_chunks)
+        ]) if chunk_start.size else np.zeros((0,), np.int64)
+        chunk_pair[ch_idx] = np.repeat(np.arange(kept_idx.shape[0]), p_chunks)
+        have = chunk_pair >= 0
+        src_blk[have] = s_sb[starts[kept_idx]][chunk_pair[have]]
+        tgt_blk[have] = s_tb[starts[kept_idx]][chunk_pair[have]]
+        # Padding chunks inside/after runs inherit a non-decreasing tgt block.
+        if not have.all():
+            fill = np.maximum.accumulate(np.where(have, tgt_blk, 0))
+            tgt_blk[~have] = fill[~have]
+    # Edges of spilled pairs go to overflow (in original input order).
+    if not keep_pair.all():
+        spilled_edge_sorted = np.repeat(~keep_pair, counts)
+        overflow_mask[order[spilled_edge_sorted]] = True
+
+    plan = PairPlan(
+        rel_src.reshape(chunk_budget, E_C),
+        rel_tgt.reshape(chunk_budget, E_C),
+        src_blk,
+        tgt_blk[::GROUP].copy(),
+    )
+    return plan, overflow_mask
+
+
+def build_pair_plans(
+    sources_per_type,
+    targets_per_type,
+    counts_per_type,
+    num_nodes_padded: int,
+    src_space: int = None,
+    chunk_budget_fwd: int = None,
+    chunk_budget_bwd: int = None,
+    overflow_budget: int = 2048,
+) -> PairPlans:
+    """Build forward+backward pair plans over ALL edge types of a batch.
+
+    Sources are merged into the stacked row space ``l * src_space + u``
+    (matching the [L*V, H] node tables of the fused message-passing path).
+    """
+    v = num_nodes_padded
+    if src_space is None:
+        src_space = v
+    num_types = len(sources_per_type)
+    rows = num_types * src_space
+    srcs, tgts = [], []
+    for l in range(num_types):
+        c = int(counts_per_type[l])
+        srcs.append(np.asarray(sources_per_type[l][:c], np.int64)
+                    + l * src_space)
+        tgts.append(np.asarray(targets_per_type[l][:c], np.int64))
+    all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
+    all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
+
+    fwd, ovf_f = _plan_one_direction(all_src, all_tgt, chunk_budget_fwd)
+    bwd, ovf_b = _plan_one_direction(all_tgt, all_src, chunk_budget_bwd)
+    ovf = ovf_f | ovf_b  # an edge must take the same path in fwd and bwd
+    if ovf.any():
+        # Re-plan excluding ALL overflow edges so fwd/bwd stay consistent
+        # (shapes fixed by the first pass).
+        keep = ~ovf
+        fwd, extra_f = _plan_one_direction(all_src[keep], all_tgt[keep],
+                                           fwd.rel_src.shape[0])
+        bwd, extra_b = _plan_one_direction(all_tgt[keep], all_src[keep],
+                                           bwd.rel_src.shape[0])
+        if extra_f.any() or extra_b.any():  # pragma: no cover
+            raise AssertionError("pair plan did not converge")
+    num_overflow = int(ovf.sum())
+    if num_overflow > overflow_budget:
+        raise ValueError(
+            f"{num_overflow} edges spilled the pair-chunk budget "
+            f"(fwd {chunk_budget_fwd} / bwd {chunk_budget_bwd}) but the "
+            f"overflow budget is {overflow_budget}. Raise "
+            f"'pair_chunk_slack'/'pair_overflow_budget' or disable "
+            f"'use_pair_spmm' for this dataset."
+        )
+    ovf_src = np.zeros((overflow_budget,), np.int32)
+    ovf_tgt = np.full((overflow_budget,), v, np.int32)  # discard row
+    if num_overflow:
+        ovf_src[:num_overflow] = all_src[ovf]
+        ovf_tgt[:num_overflow] = all_tgt[ovf]
+    return PairPlans(fwd, bwd, ovf_src, ovf_tgt)
+
+
+def pair_slot_abs_ids(plan_arrays, which: str):
+    """Device-side absolute (src, tgt) ids per slot of one direction plus the
+    validity mask — used to gather per-edge normalisation scales."""
+    plans = PairPlans.fromtuple(plan_arrays)
+    p = plans.fwd if which == "fwd" else plans.bwd
+    rel_s = jnp.asarray(p.rel_src).reshape(-1)
+    rel_t = jnp.asarray(p.rel_tgt).reshape(-1)
+    chunk = jnp.arange(rel_s.shape[0]) // E_C
+    srcabs = jnp.asarray(p.src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
+    tgtabs = (jnp.asarray(p.grp_tgt)[chunk // GROUP] * BLK
+              + jnp.minimum(rel_t, BLK - 1))
+    valid = (rel_s < BLK) & (rel_t < BLK)
+    return srcabs, tgtabs, valid
+
+
+def measure_pair_chunks(
+    sources_per_type, targets_per_type, counts_per_type,
+    num_nodes_padded: int, src_space: int = None,
+) -> Tuple[int, int]:
+    """Chunk counts both directions would need for this batch (used by the
+    dataset padding-config derivation to size static budgets)."""
+    v = num_nodes_padded
+    if src_space is None:
+        src_space = v
+    srcs, tgts = [], []
+    for l, (s, t) in enumerate(zip(sources_per_type, targets_per_type)):
+        c = int(counts_per_type[l])
+        srcs.append(np.asarray(s[:c], np.int64) + l * src_space)
+        tgts.append(np.asarray(t[:c], np.int64))
+    all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
+    all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
+    fwd, _ = _plan_one_direction(all_src, all_tgt, None)
+    bwd, _ = _plan_one_direction(all_tgt, all_src, None)
+    return fwd.rel_src.shape[0], bwd.rel_src.shape[0]
+
+
+def pair_unit_scales(plan_arrays, num_nodes: int):
+    """(scale_fwd, scale_bwd, ovf_scale) for unweighted aggregation: ones on
+    kernel slots (sentinel one-hots already miss) and a validity mask on the
+    overflow slots (their padded targets would otherwise clip-gather)."""
+    plans = PairPlans.fromtuple(plan_arrays)
+    sf = jnp.ones((np.prod(plans.fwd.rel_src.shape),), jnp.float32)
+    sb = jnp.ones((np.prod(plans.bwd.rel_src.shape),), jnp.float32)
+    so = (jnp.asarray(plans.ovf_tgt) < num_nodes).astype(jnp.float32)
+    return sf, sb, so
+
+
+def pair_normalisation_scales(plan_arrays, inv_flat: jnp.ndarray,
+                              num_nodes: int, src_space: int = None):
+    """Per-slot 1/deg-style scales for both directions + overflow.
+
+    ``inv_flat`` is a [L*V] device array indexed by ``l * num_nodes + tgt``
+    (the per-type in-degree normaliser of the fused message-passing path).
+    """
+    v = num_nodes
+    if src_space is None:
+        src_space = v
+    plans = PairPlans.fromtuple(plan_arrays)
+
+    srcabs, tgtabs, valid = pair_slot_abs_ids(plan_arrays, "fwd")
+    ltype = srcabs // src_space
+    sf = jnp.take(inv_flat, ltype * v + tgtabs, mode="clip") * valid
+
+    srcabs_b, tgtabs_b, valid_b = pair_slot_abs_ids(plan_arrays, "bwd")
+    ltype_b = tgtabs_b // src_space
+    sb = jnp.take(inv_flat, ltype_b * v + srcabs_b, mode="clip") * valid_b
+
+    ovf_src = jnp.asarray(plans.ovf_src)
+    ovf_tgt = jnp.asarray(plans.ovf_tgt)
+    ovf_valid = (ovf_tgt < v).astype(jnp.float32)
+    ovf_l = ovf_src // src_space
+    so = jnp.take(inv_flat, ovf_l * v + jnp.minimum(ovf_tgt, v - 1),
+                  mode="clip") * ovf_valid
+    return sf, sb, so
+
+
+def _pad_cols(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    h = x.shape[-1]
+    pad = (-h) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def pair_kernel_table_bytes(rows: int, dtype) -> int:
+    return rows * TILE * jnp.dtype(dtype).itemsize
+
+
+def pair_kernel_applicable(rows: int, dtype) -> bool:
+    """Static check: the resident table tile must fit the VMEM budget."""
+    return pair_kernel_table_bytes(rows, dtype) <= VMEM_TABLE_BUDGET_BYTES
+
+
+def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
+                      out_rows: int):
+    """The Pallas kernel (TPU only; callers route interpret/CPU to the jnp
+    fallback). ``table`` [rows, H]; returns f32 [out_rows, H]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = table.shape[-1]
+    table = _pad_cols(table, TILE)
+    rows, h = table.shape
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+    h_tiles = h // TILE
+    out_dtype = jnp.float32
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scale_ref,
+               table_hbm, zeros_ref, out_ref, table_vmem, copy_sem):
+        del zeros_ref
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                table_hbm.at[:, pl.ds(t * TILE, TILE)], table_vmem, copy_sem
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        for k in range(GROUP):
+            rel_t = rel_t_ref[k, :]
+            rel_s = rel_s_ref[k, :]
+            sc = scale_ref[k, :]
+            oh_t = ((rows_i == rel_t[None, :]).astype(jnp.float32)
+                    * sc[None, :]).astype(table_vmem.dtype)
+            oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
+            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
+            blk = src_blk_ref[g * GROUP + k]
+            tb = table_vmem[pl.ds(blk * BLK, BLK), :]
+            contrib = contrib + jnp.dot(
+                a.astype(table_vmem.dtype), tb,
+                preferred_element_type=jnp.float32,
+            )
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # src_blk, grp_tgt
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                         memory_space=pltpu.VMEM),  # zeros -> out alias
+        ],
+        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, TILE), table.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((out_rows, h), out_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, h), out_dtype),
+        input_output_aliases={6: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (BLK * E_C * BLK + BLK * BLK * TILE)
+            * h_tiles,
+            bytes_accessed=rows * h * table.dtype.itemsize
+            + num_chunks * E_C * 12 + out_rows * h * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), scale.reshape(num_chunks, E_C), table, zeros)
+    return out[:, :orig_h]
+
+
+def _pair_spmm_jnp(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
+                   out_rows: int):
+    """Reference/CPU fallback with identical semantics (plan correctness is
+    what CPU tests exercise; the Pallas kernel is equivalence-tested on TPU)."""
+    rel_s = jnp.asarray(rel_src).reshape(-1)
+    rel_t = jnp.asarray(rel_tgt).reshape(-1)
+    chunk = jnp.arange(rel_s.shape[0]) // E_C
+    srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
+    tgtabs = (jnp.asarray(grp_tgt)[chunk // GROUP] * BLK
+              + jnp.minimum(rel_t, BLK - 1))
+    valid = ((rel_s < BLK) & (rel_t < BLK))
+    msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
+    msgs = msgs * (scale.reshape(-1) * valid)[:, None]
+    seg = jnp.where(valid, tgtabs, out_rows)
+    return jax.ops.segment_sum(msgs, seg, num_segments=out_rows + 1)[:out_rows]
+
+
+def pair_spmm(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
+              out_rows: int, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        return _pair_spmm_jnp(table, scale, rel_src, rel_tgt, src_blk,
+                              grp_tgt, out_rows)
+    return _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk,
+                             grp_tgt, out_rows)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(14,))
+def pair_typed_gather_scatter(
+    tables_flat: jnp.ndarray,   # [L*V, H] stacked per-type node tables
+    scale_fwd: jnp.ndarray,     # f32 [C_f*E_C] per-slot weight (fwd slots)
+    scale_bwd: jnp.ndarray,     # f32 [C_b*E_C] same weights in bwd slots
+    ovf_scale: jnp.ndarray,     # f32 [OVF] weights of overflow edges (0 pad)
+    rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,   # forward PairPlan
+    rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,   # backward PairPlan
+    ovf_src, ovf_tgt,
+    num_nodes: int,
+) -> jnp.ndarray:
+    """Fused all-type SpMM via the block-pair kernel:
+    ``out[v] = sum over edges e=(u -> v, type l) of scale_e * tables[l*V+u]``.
+
+    Plan arrays ride as regular (non-differentiated) operands; pass them from
+    ``PairPlans.astuple()``.
+    """
+    out = pair_spmm(tables_flat, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
+                    grp_tgt_f, num_nodes)
+    if ovf_src.shape[0]:
+        msgs = jnp.take(tables_flat, ovf_src, axis=0,
+                        mode="clip").astype(jnp.float32)
+        msgs = msgs * ovf_scale[:, None]
+        out = out + jax.ops.segment_sum(
+            msgs, ovf_tgt, num_segments=num_nodes + 1
+        )[:num_nodes]
+    return out
+
+
+def _ptgs_fwd(tables_flat, scale_fwd, scale_bwd, ovf_scale,
+              rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+              rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+              ovf_src, ovf_tgt, num_nodes):
+    out = pair_typed_gather_scatter(
+        tables_flat, scale_fwd, scale_bwd, ovf_scale,
+        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+        ovf_src, ovf_tgt, num_nodes,
+    )
+    return out, (tables_flat.shape[0], scale_bwd, ovf_scale,
+                 rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+                 ovf_src, ovf_tgt)
+
+
+def _ptgs_bwd(num_nodes, res, g):
+    (rows, scale_bwd, ovf_scale, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+     ovf_src, ovf_tgt) = res
+    d_tables = pair_spmm(g, scale_bwd, rel_src_b, rel_tgt_b, src_blk_b,
+                         grp_tgt_b, rows)
+    if ovf_src.shape[0]:
+        # Transpose of the overflow term: d_tables[src] += scale * g[tgt].
+        g_rows = jnp.take(g, ovf_tgt, axis=0, mode="clip")
+        g_rows = g_rows * ovf_scale[:, None]
+        d_tables = d_tables + jax.ops.segment_sum(
+            g_rows, ovf_src, num_segments=rows
+        )
+    return (d_tables,) + (None,) * 13
+
+
+pair_typed_gather_scatter.defvjp(_ptgs_fwd, _ptgs_bwd)
