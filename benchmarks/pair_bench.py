@@ -46,7 +46,7 @@ def main():
     sf = jnp.ones((cf * ps.E_C,), jnp.float32)
     sb = jnp.ones((cb * ps.E_C,), jnp.float32)
     so = (jnp.asarray(plans.ovf_tgt) < v).astype(jnp.float32)
-    plan_dev = tuple(jnp.asarray(a) for a in plans.astuple())
+    plan_dev = tuple(jnp.asarray(a) for a in plans.kernel_arrays)
 
     # Correctness: kernel vs jnp fallback, fwd and grad.
     out_dev = np.asarray(ps.pair_spmm(tables, sf, *plans.fwd, v,

@@ -168,7 +168,7 @@ def test_pair_batches_carry_plans(tmp_path):
     assert ds.padding_config.pair_chunks_fwd is not None
     batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
     assert batch.pair_plans is not None
-    assert len(batch.pair_plans) == 10  # PairPlans.astuple()
+    assert len(batch.pair_plans) == 13  # PairPlans.astuple()
     assert batch.scatter_plans is None  # pair mode alone doesn't build these
 
 

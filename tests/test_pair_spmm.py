@@ -80,7 +80,7 @@ def test_pair_plan_fwd_matches_reference(seed, clusters):
 
     sf, sb, so = _scales_for(plans.astuple(), scale_full, v, v)
     out = ps.pair_typed_gather_scatter(
-        jnp.asarray(tables), sf, sb, so, *plans.astuple(), v
+        jnp.asarray(tables), sf, sb, so, *plans.kernel_arrays, v
     )
     ref = _reference(tables, srcs, tgts, counts, scale_full, v)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
@@ -97,7 +97,7 @@ def test_pair_plan_gradient_matches_xla():
     cot = jnp.asarray(rng.randn(v, h).astype(np.float32))
 
     def via_pairs(t):
-        out = ps.pair_typed_gather_scatter(t, sf, sb, so, *plans.astuple(), v)
+        out = ps.pair_typed_gather_scatter(t, sf, sb, so, *plans.kernel_arrays, v)
         return jnp.vdot(out, cot)
 
     def via_xla(t):
@@ -134,7 +134,7 @@ def test_pair_plan_overflow_spill_exact():
     scale_full = np.ones((num_types * v,), np.float32)
     sf, sb, so = _scales_for(plans.astuple(), scale_full, v, v)
     out = ps.pair_typed_gather_scatter(
-        jnp.asarray(tables), sf, sb, so, *plans.astuple(), v
+        jnp.asarray(tables), sf, sb, so, *plans.kernel_arrays, v
     )
     ref = _reference(tables, srcs, tgts, counts, scale_full, v)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
@@ -161,9 +161,61 @@ def test_pair_plan_empty_edges():
     zeros_b = jnp.zeros((plans.bwd.rel_src.size,), jnp.float32)
     ovf0 = jnp.zeros((plans.ovf_src.shape[0],), jnp.float32)
     out = ps.pair_typed_gather_scatter(
-        tables, zeros + 1.0, zeros_b + 1.0, ovf0, *plans.astuple(), v
+        tables, zeros + 1.0, zeros_b + 1.0, ovf0, *plans.kernel_arrays, v
     )
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_host_inv_scales_match_device():
+    """PairPlans.inv_* (host bincount+index) must equal the device-side
+    pair_normalisation_scales over the same 1/(deg+eps) table."""
+    from tf2_gnn_tpu.layers.message_passing.base import (
+        calculate_type_to_num_incoming_edges,
+    )
+    from tf2_gnn_tpu.data.graph_batch import PaddingConfig, pad_batch_arrays
+    from tf2_gnn_tpu.utils.constants import SMALL_NUMBER
+
+    rng = np.random.RandomState(11)
+    v, num_types = 512, 3
+    # Real edges stay clear of the pad node (v-1): device-side degrees count
+    # padded edge slots into the pad node's row, host-side ones don't.
+    srcs, tgts, counts = [], [], []
+    for _ in range(num_types):
+        e = rng.randint(v // 2, v * 2)
+        budget = ((e + 63) // 64) * 64
+        s = np.full((budget,), v - 1, np.int32)
+        t = np.full((budget,), v - 1, np.int32)
+        s[:e] = rng.randint(0, v - 1, e)
+        t[:e] = rng.randint(0, v - 1, e)
+        srcs.append(s)
+        tgts.append(t)
+        counts.append(e)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v)
+
+    # Device-side deg via the production path: build a real GraphBatch.
+    adjacency = [
+        np.stack([srcs[l][:counts[l]], tgts[l][:counts[l]]], axis=1)
+        for l in range(num_types)
+    ]
+    config = PaddingConfig(
+        num_nodes=v, num_graphs=2,
+        edge_budgets=tuple(s.shape[0] for s in srcs),
+    )
+    batch = pad_batch_arrays(
+        node_features=np.zeros((v - 1, 4), np.float32),
+        adjacency_lists=adjacency,
+        node_to_graph=np.zeros((v - 1,), np.int32),
+        num_graphs=1,
+        config=config,
+    )
+    deg = calculate_type_to_num_incoming_edges(batch).reshape(-1)
+    inv = 1.0 / (deg + SMALL_NUMBER)
+    sf, sb, so = ps.pair_normalisation_scales(plans.astuple(), inv, v)
+    # Padded edges increment the pad node's degree on device but no real
+    # slot references the pad node as target, so all slot scales agree.
+    np.testing.assert_allclose(plans.inv_fwd, np.asarray(sf), rtol=1e-6)
+    np.testing.assert_allclose(plans.inv_bwd, np.asarray(sb), rtol=1e-6)
+    np.testing.assert_allclose(plans.inv_ovf, np.asarray(so), rtol=1e-6)
 
 
 def test_pair_chunk_budget_formula():

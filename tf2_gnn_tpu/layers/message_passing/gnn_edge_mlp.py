@@ -149,23 +149,19 @@ class GNN_Edge_MLP(MessagePassing):
         """Gather-free block-pair kernel over the stacked [L*V, H] tables
         (ops/pair_spmm.py): both the per-edge gather and the scatter become
         MXU matmuls against one-hot factors, with the 1/deg normalisation
-        folded into the one-hot scales."""
-        from ...ops.pair_spmm import (
-            pair_normalisation_scales,
-            pair_typed_gather_scatter,
-            pair_unit_scales,
-        )
-        from ...utils.constants import SMALL_NUMBER
+        folded into the one-hot scales. All per-slot scales are precomputed
+        on the host (PairPlans.inv_*) — device-side scale gathers measure
+        ~3.5 ms/step on the PPI bench."""
+        from ...ops.pair_spmm import pair_typed_gather_scatter, pair_unit_scales
 
         v = batch.num_nodes_padded
+        plans = batch.pair_plans
         if self.normalize_by_num_incoming:
-            deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
-            inv = 1.0 / (deg_flat + SMALL_NUMBER)
-            sf, sb, so = pair_normalisation_scales(batch.pair_plans, inv, v)
+            sf, sb, so = plans[10], plans[11], plans[12]
         else:
-            sf, sb, so = pair_unit_scales(batch.pair_plans, v)
+            sf, sb, so = pair_unit_scales(plans, v)
         return pair_typed_gather_scatter(
-            tables, sf, sb, so, *batch.pair_plans, v
+            tables, sf, sb, so, *plans[:10], v
         )
 
     def _fused_normalisation_scales(self, batch: GraphBatch, plan):

@@ -68,27 +68,44 @@ class PairPlan(NamedTuple):
 
 
 class PairPlans(NamedTuple):
-    """Forward + backward plans + overflow edges for one batch.
+    """Forward + backward plans + overflow edges + per-slot 1/deg scales.
 
     The tuple form holds only arrays (they ride a GraphBatch as traced pytree
     leaves); the host-side overflow count is not needed on device — padded
     overflow slots carry scale 0 and target the discard row.
+
+    ``inv_*`` are the per-slot ``1/(per-type in-degree of the edge's target
+    + eps)`` normalisation scales in forward / backward / overflow slot
+    order, PRECOMPUTED ON THE HOST: a device-side per-slot gather of these
+    scales measures 3.5 ms/step on the PPI bench (scalar-gather rate-limited)
+    while the host bincount+index is microseconds at batch-build time.
+    Slots that don't hold a real edge carry scale 0.
     """
 
     fwd: PairPlan          # out rows = num_nodes (scatter by target)
     bwd: PairPlan          # out rows = table rows (gradient scatter by source)
     ovf_src: np.ndarray    # int32 [OVF] merged source row ids (sentinel 0)
     ovf_tgt: np.ndarray    # int32 [OVF] target ids (sentinel num_nodes)
+    inv_fwd: np.ndarray    # f32 [C_f * E_C] 1/deg scale per forward slot
+    inv_bwd: np.ndarray    # f32 [C_b * E_C] 1/deg scale per backward slot
+    inv_ovf: np.ndarray    # f32 [OVF] 1/deg scale per overflow slot
 
     def astuple(self) -> Tuple[np.ndarray, ...]:
-        return tuple(self.fwd) + tuple(self.bwd) + (self.ovf_src, self.ovf_tgt)
+        return (tuple(self.fwd) + tuple(self.bwd)
+                + (self.ovf_src, self.ovf_tgt,
+                   self.inv_fwd, self.inv_bwd, self.inv_ovf))
 
     @classmethod
     def fromtuple(cls, arrays) -> "PairPlans":
         return cls(
             PairPlan(*arrays[0:4]), PairPlan(*arrays[4:8]),
-            arrays[8], arrays[9],
+            arrays[8], arrays[9], arrays[10], arrays[11], arrays[12],
         )
+
+    @property
+    def kernel_arrays(self) -> Tuple[np.ndarray, ...]:
+        """The 10 plan arrays ``pair_typed_gather_scatter`` consumes."""
+        return tuple(self.fwd) + tuple(self.bwd) + (self.ovf_src, self.ovf_tgt)
 
 
 def pair_chunk_budget(total_edge_budget: int, out_rows: int,
@@ -210,6 +227,51 @@ def _plan_one_direction(
     return plan, overflow_mask
 
 
+def _np_slot_abs(plan: PairPlan):
+    """Numpy twin of ``pair_slot_abs_ids``: absolute (src, tgt) per slot +
+    validity, for host-side scale precomputation."""
+    rel_s = plan.rel_src.reshape(-1)
+    rel_t = plan.rel_tgt.reshape(-1)
+    chunk = np.arange(rel_s.shape[0]) // E_C
+    srcabs = plan.src_blk[chunk].astype(np.int64) * BLK + np.minimum(rel_s, BLK - 1)
+    tgtabs = (plan.grp_tgt[chunk // GROUP].astype(np.int64) * BLK
+              + np.minimum(rel_t, BLK - 1))
+    valid = (rel_s < BLK) & (rel_t < BLK)
+    return srcabs, tgtabs, valid
+
+
+def _host_inv_degree_scales(plans_fwd, plans_bwd, ovf_src, ovf_tgt,
+                            all_src, all_tgt, v: int, src_space: int,
+                            num_types: int):
+    """Per-slot 1/(per-type in-degree + eps) for fwd/bwd/overflow slots.
+
+    Matches calculate_type_to_num_incoming_edges + the reference's epsilon
+    (gnn_edge_mlp.py:102-106): deg_l(t) counts real edges of type l into t.
+    """
+    from ..utils.constants import SMALL_NUMBER
+
+    deg = np.zeros((num_types * v,), np.float32)
+    if all_src.size:
+        idx = (all_src // src_space) * v + all_tgt
+        np.add.at(deg, idx, 1.0)
+    inv = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)
+
+    srcabs, tgtabs, valid = _np_slot_abs(plans_fwd)
+    ltype = srcabs // src_space
+    inv_fwd = inv[np.minimum(ltype * v + tgtabs, inv.shape[0] - 1)] * valid
+
+    srcabs_b, tgtabs_b, valid_b = _np_slot_abs(plans_bwd)
+    ltype_b = tgtabs_b // src_space
+    inv_bwd = inv[np.minimum(ltype_b * v + srcabs_b, inv.shape[0] - 1)] * valid_b
+
+    ovf_valid = ovf_tgt < v
+    ovf_l = ovf_src.astype(np.int64) // src_space
+    inv_ovf = inv[np.minimum(ovf_l * v + np.minimum(ovf_tgt, v - 1),
+                             inv.shape[0] - 1)] * ovf_valid
+    return (inv_fwd.astype(np.float32), inv_bwd.astype(np.float32),
+            inv_ovf.astype(np.float32))
+
+
 def build_pair_plans(
     sources_per_type,
     targets_per_type,
@@ -266,7 +328,10 @@ def build_pair_plans(
     if num_overflow:
         ovf_src[:num_overflow] = all_src[ovf]
         ovf_tgt[:num_overflow] = all_tgt[ovf]
-    return PairPlans(fwd, bwd, ovf_src, ovf_tgt)
+    inv_fwd, inv_bwd, inv_ovf = _host_inv_degree_scales(
+        fwd, bwd, ovf_src, ovf_tgt, all_src, all_tgt, v, src_space, num_types
+    )
+    return PairPlans(fwd, bwd, ovf_src, ovf_tgt, inv_fwd, inv_bwd, inv_ovf)
 
 
 def pair_slot_abs_ids(plan_arrays, which: str):
