@@ -95,7 +95,8 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     ds = SyntheticNeighbourhoodDataset(
         {**GraphDataset.get_default_hyperparameters(),
-         "max_nodes_per_batch": 1024, "use_pallas_spmm": True}
+         "max_nodes_per_batch": 1024, "use_pallas_spmm": True,
+         "use_pair_spmm": True}
     )
     params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
     params.update(
@@ -103,6 +104,7 @@ def main():
             "gnn_hidden_dim": 128,
             "gnn_num_layers": 2,
             "gnn_normalize_by_num_incoming": True,
+            "gnn_edge_dtype": "bfloat16",  # the flagship pair-kernel config
             "learning_rate": 0.002,
         }
     )
@@ -114,7 +116,7 @@ def main():
 
     def log(msg):
         if "MicroF1" in msg and "Valid" in msg or msg.startswith("Initial"):
-            token = msg.split("MicroF1:")[1].split("|")[0]
+            token = msg.split("MicroF1:")[1].split("|")[0].split("(")[0]
             f1s.append(float(token.strip(" .\n")))
         print(msg, flush=True)
 

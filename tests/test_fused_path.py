@@ -35,7 +35,7 @@ def test_pallas_batches_carry_plans_and_aligned_nodes(tmp_path):
     ds = _dataset(tmp_path, use_pallas=True)
     batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
     assert batch.scatter_plans is not None
-    assert len(batch.scatter_plans) == 10  # MergedScatterPlan.astuple()
+    assert len(batch.scatter_plans) == 12  # MergedScatterPlan.astuple()
     assert batch.num_nodes_padded % BLOCK_NODES == 0
 
 

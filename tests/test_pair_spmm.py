@@ -218,6 +218,49 @@ def test_host_inv_scales_match_device():
     np.testing.assert_allclose(plans.inv_ovf, np.asarray(so), rtol=1e-6)
 
 
+def test_merged_target_plans_give_per_type_aggregates():
+    """merge_targets=True: kernel output [L*V, H] holds S_l[v] = sum of
+    type-l messages into v (the building block for FiLM / target-state
+    factorisations)."""
+    rng = np.random.RandomState(5)
+    v, num_types, h = 384, 3, 16
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v, merge_targets=True)
+    tables = rng.randn(num_types * v, h).astype(np.float32)
+    out_rows = num_types * v
+
+    sf, sb, so = ps.pair_unit_scales(plans.astuple(), out_rows)
+    out = ps.pair_typed_gather_scatter(
+        jnp.asarray(tables), sf, sb, so, *plans.kernel_arrays, out_rows
+    )
+    expected = np.zeros((num_types, v, h), np.float64)
+    for l in range(num_types):
+        c = counts[l]
+        np.add.at(expected[l], tgts[l][:c],
+                  tables[l * v + srcs[l][:c]].astype(np.float64))
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(num_types, v, h), expected,
+        rtol=2e-4, atol=2e-4,
+    )
+
+    # Normalisation scales index the merged degree table directly.
+    from tf2_gnn_tpu.utils.constants import SMALL_NUMBER
+    deg = np.zeros((num_types * v,), np.float32)
+    for l in range(num_types):
+        c = counts[l]
+        np.add.at(deg, l * v + tgts[l][:c], 1.0)
+    inv = 1.0 / (deg + SMALL_NUMBER)
+    out_n = ps.pair_typed_gather_scatter(
+        jnp.asarray(tables), jnp.asarray(plans.inv_fwd),
+        jnp.asarray(plans.inv_bwd), jnp.asarray(plans.inv_ovf),
+        *plans.kernel_arrays, out_rows
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_n), expected.reshape(out_rows, h) * inv[:, None],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_pair_chunk_budget_formula():
     b = ps.pair_chunk_budget(1000, 512)
     assert b % ps.GROUP == 0

@@ -82,13 +82,17 @@ def data_path_for(task: str, tmp_path_factory) -> str:
 
 def build_ours(task, model, data_path, meta):
     parser = get_train_cli_arg_parser()
+    # Parity is a numerics check against the f32 reference: pin the edge
+    # stream to float32 (shipped configs may default it to bfloat16, which
+    # is a performance setting with ~1e-2 rounding, not a semantics change).
+    model_params = dict(meta["model_params"], gnn_edge_dtype="float32")
     args = parser.parse_args(
         [
             model,
             task,
             data_path,
             "--model-params-override",
-            json.dumps(meta["model_params"]),
+            json.dumps(model_params),
             "--data-params-override",
             json.dumps(meta["dataset_params"]),
         ]

@@ -165,17 +165,10 @@ class GNN_Edge_MLP(MessagePassing):
         )
 
     def _fused_normalisation_scales(self, batch: GraphBatch, plan):
-        """Per-slot 1/deg_l(tgt) scales in forward and backward slot order."""
-        from ...utils.constants import SMALL_NUMBER
-
-        v = batch.num_nodes_padded
-        deg_flat = calculate_type_to_num_incoming_edges(batch).reshape(-1)
-        inv = 1.0 / (deg_flat + SMALL_NUMBER)  # [L*V]
-        scale_fwd = jnp.take(inv, plan.type_fwd * v + plan.tgtabs_fwd,
-                             mode="clip")
-        scale_bwd = jnp.take(inv, plan.type_bwd * v + plan.tgtabs_by_src,
-                             mode="clip")
-        return scale_fwd, scale_bwd
+        """Per-slot 1/deg_l(tgt) scales in forward and backward slot order —
+        precomputed on the host at plan-build time (device-side per-slot
+        gathers measure ~3.5 ms/step on the PPI bench)."""
+        return plan.inv_fwd, plan.inv_bwd
 
     def _fused_node_space_tables(self, node_states, batch: GraphBatch):
         """The per-type message MLP run densely in node space -> [L*V, H]."""

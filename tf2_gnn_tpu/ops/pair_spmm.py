@@ -242,32 +242,43 @@ def _np_slot_abs(plan: PairPlan):
 
 def _host_inv_degree_scales(plans_fwd, plans_bwd, ovf_src, ovf_tgt,
                             all_src, all_tgt, v: int, src_space: int,
-                            num_types: int):
+                            num_types: int, merge_targets: bool = False):
     """Per-slot 1/(per-type in-degree + eps) for fwd/bwd/overflow slots.
 
     Matches calculate_type_to_num_incoming_edges + the reference's epsilon
     (gnn_edge_mlp.py:102-106): deg_l(t) counts real edges of type l into t.
+    With ``merge_targets`` the target ids already carry the type offset, so
+    the merged target id indexes the [L*V] degree table directly.
     """
     from ..utils.constants import SMALL_NUMBER
 
     deg = np.zeros((num_types * v,), np.float32)
     if all_src.size:
-        idx = (all_src // src_space) * v + all_tgt
+        if merge_targets:
+            idx = all_tgt
+        else:
+            idx = (all_src // src_space) * v + all_tgt
         np.add.at(deg, idx, 1.0)
     inv = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)
+    top = inv.shape[0] - 1
 
     srcabs, tgtabs, valid = _np_slot_abs(plans_fwd)
-    ltype = srcabs // src_space
-    inv_fwd = inv[np.minimum(ltype * v + tgtabs, inv.shape[0] - 1)] * valid
+    fwd_idx = tgtabs if merge_targets else (srcabs // src_space) * v + tgtabs
+    inv_fwd = inv[np.minimum(fwd_idx, top)] * valid
 
     srcabs_b, tgtabs_b, valid_b = _np_slot_abs(plans_bwd)
-    ltype_b = tgtabs_b // src_space
-    inv_bwd = inv[np.minimum(ltype_b * v + srcabs_b, inv.shape[0] - 1)] * valid_b
+    bwd_idx = (srcabs_b if merge_targets
+               else (tgtabs_b // src_space) * v + srcabs_b)
+    inv_bwd = inv[np.minimum(bwd_idx, top)] * valid_b
 
-    ovf_valid = ovf_tgt < v
-    ovf_l = ovf_src.astype(np.int64) // src_space
-    inv_ovf = inv[np.minimum(ovf_l * v + np.minimum(ovf_tgt, v - 1),
-                             inv.shape[0] - 1)] * ovf_valid
+    out_rows = num_types * v if merge_targets else v
+    ovf_valid = ovf_tgt < out_rows
+    if merge_targets:
+        ovf_idx = np.minimum(ovf_tgt, top)
+    else:
+        ovf_l = ovf_src.astype(np.int64) // src_space
+        ovf_idx = np.minimum(ovf_l * v + np.minimum(ovf_tgt, v - 1), top)
+    inv_ovf = inv[ovf_idx] * ovf_valid
     return (inv_fwd.astype(np.float32), inv_bwd.astype(np.float32),
             inv_ovf.astype(np.float32))
 
@@ -281,23 +292,33 @@ def build_pair_plans(
     chunk_budget_fwd: int = None,
     chunk_budget_bwd: int = None,
     overflow_budget: int = 2048,
+    merge_targets: bool = False,
 ) -> PairPlans:
     """Build forward+backward pair plans over ALL edge types of a batch.
 
     Sources are merged into the stacked row space ``l * src_space + u``
     (matching the [L*V, H] node tables of the fused message-passing path).
+
+    ``merge_targets=True`` puts TARGETS in the merged space ``l * V + t`` as
+    well, so the kernel produces PER-TYPE aggregates ``S_l[v] = sum over
+    type-l edges into v`` as an [L*V, H] output. This is the building block
+    for flavours whose per-edge target term factorises into node space
+    (GNN-FiLM's modulation, the 0-hidden-layer target-state edge MLP):
+    aggregate per type, then apply the target-dependent math densely.
     """
     v = num_nodes_padded
     if src_space is None:
         src_space = v
     num_types = len(sources_per_type)
     rows = num_types * src_space
+    out_rows = num_types * v if merge_targets else v
     srcs, tgts = [], []
     for l in range(num_types):
         c = int(counts_per_type[l])
         srcs.append(np.asarray(sources_per_type[l][:c], np.int64)
                     + l * src_space)
-        tgts.append(np.asarray(targets_per_type[l][:c], np.int64))
+        tgts.append(np.asarray(targets_per_type[l][:c], np.int64)
+                    + (l * v if merge_targets else 0))
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
 
@@ -324,12 +345,13 @@ def build_pair_plans(
             f"'use_pair_spmm' for this dataset."
         )
     ovf_src = np.zeros((overflow_budget,), np.int32)
-    ovf_tgt = np.full((overflow_budget,), v, np.int32)  # discard row
+    ovf_tgt = np.full((overflow_budget,), out_rows, np.int32)  # discard row
     if num_overflow:
         ovf_src[:num_overflow] = all_src[ovf]
         ovf_tgt[:num_overflow] = all_tgt[ovf]
     inv_fwd, inv_bwd, inv_ovf = _host_inv_degree_scales(
-        fwd, bwd, ovf_src, ovf_tgt, all_src, all_tgt, v, src_space, num_types
+        fwd, bwd, ovf_src, ovf_tgt, all_src, all_tgt, v, src_space, num_types,
+        merge_targets,
     )
     return PairPlans(fwd, bwd, ovf_src, ovf_tgt, inv_fwd, inv_bwd, inv_ovf)
 
@@ -352,6 +374,7 @@ def pair_slot_abs_ids(plan_arrays, which: str):
 def measure_pair_chunks(
     sources_per_type, targets_per_type, counts_per_type,
     num_nodes_padded: int, src_space: int = None,
+    merge_targets: bool = False,
 ) -> Tuple[int, int]:
     """Chunk counts both directions would need for this batch (used by the
     dataset padding-config derivation to size static budgets)."""
@@ -362,7 +385,8 @@ def measure_pair_chunks(
     for l, (s, t) in enumerate(zip(sources_per_type, targets_per_type)):
         c = int(counts_per_type[l])
         srcs.append(np.asarray(s[:c], np.int64) + l * src_space)
-        tgts.append(np.asarray(t[:c], np.int64))
+        tgts.append(np.asarray(t[:c], np.int64)
+                    + (l * v if merge_targets else 0))
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
     fwd, _ = _plan_one_direction(all_src, all_tgt, None)

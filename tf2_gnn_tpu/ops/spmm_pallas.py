@@ -187,10 +187,11 @@ class MergedScatterPlan:
 
     __slots__ = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
                  "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
-                 "bwd_to_fwd_slot")
+                 "bwd_to_fwd_slot", "inv_fwd", "inv_bwd")
 
     def __init__(self, src_merged, rel_tgt, tgt_blocks, type_fwd, tgtabs_fwd,
-                 tgtabs_by_src, rel_src, src_blocks, type_bwd, bwd_to_fwd_slot):
+                 tgtabs_by_src, rel_src, src_blocks, type_bwd, bwd_to_fwd_slot,
+                 inv_fwd, inv_bwd):
         self.src_merged = src_merged
         self.rel_tgt = rel_tgt
         self.tgt_blocks = tgt_blocks
@@ -205,11 +206,18 @@ class MergedScatterPlan:
         # gather cotangents be re-ordered into backward slot order so the
         # gradient scatter also runs the sorted Pallas kernel.
         self.bwd_to_fwd_slot = bwd_to_fwd_slot
+        # Host-precomputed per-slot 1/(per-type in-degree of the edge's
+        # target + eps) in forward / backward slot order. A device-side
+        # per-slot gather of these costs ~3.5 ms/step on the PPI bench
+        # (scalar-gather rate limited); the host bincount is free.
+        self.inv_fwd = inv_fwd
+        self.inv_bwd = inv_bwd
 
     def astuple(self):
         return (self.src_merged, self.rel_tgt, self.tgt_blocks, self.type_fwd,
                 self.tgtabs_fwd, self.tgtabs_by_src, self.rel_src,
-                self.src_blocks, self.type_bwd, self.bwd_to_fwd_slot)
+                self.src_blocks, self.type_bwd, self.bwd_to_fwd_slot,
+                self.inv_fwd, self.inv_bwd)
 
 
 def build_merged_plans(
@@ -267,9 +275,21 @@ def build_merged_plans(
     bwd_to_fwd_slot = np.full(perm_b.shape, sentinel_fwd, dtype=np.int32)
     valid_b = perm_b >= 0
     bwd_to_fwd_slot[valid_b] = fwd_slot_of_edge[perm_b[valid_b]]
+
+    # Host-precomputed 1/deg normalisation scales (see MergedScatterPlan).
+    from ..utils.constants import SMALL_NUMBER
+
+    deg = np.zeros((num_types * v,), np.float32)
+    if n:
+        np.add.at(deg, (all_type * v + all_tgt).astype(np.int64), 1.0)
+    inv = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)
+    inv_fwd = (inv[np.minimum(type_fwd.astype(np.int64) * v + tgtabs_fwd,
+                              inv.shape[0] - 1)] * valid_f).astype(np.float32)
+    inv_bwd = (inv[np.minimum(type_bwd.astype(np.int64) * v + tgtabs_by_src,
+                              inv.shape[0] - 1)] * valid_b).astype(np.float32)
     return MergedScatterPlan(src_merged, rel_tgt, tgt_blocks, type_fwd,
                              tgtabs_fwd, tgtabs_by_src, rel_src, src_blocks,
-                             type_bwd, bwd_to_fwd_slot)
+                             type_bwd, bwd_to_fwd_slot, inv_fwd, inv_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(11, 12))
@@ -601,7 +621,7 @@ plan_scatter.defvjp(_ps_fwd, _ps_bwd)
 
 PLAN_FIELDS = ("src_merged", "rel_tgt", "tgt_blocks", "type_fwd", "tgtabs_fwd",
                "tgtabs_by_src", "rel_src", "src_blocks", "type_bwd",
-               "bwd_to_fwd_slot")
+               "bwd_to_fwd_slot", "inv_fwd", "inv_bwd")
 
 
 class PlanView:
