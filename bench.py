@@ -31,7 +31,8 @@ TIMED_STEPS_BASE = 10
 TIMED_STEPS_FULL = 30
 
 
-def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False):
+def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
+                pair_merge_targets: bool = False):
     from tf2_gnn_tpu.data.graph_batch import (
         PaddingConfig,
         pad_batch_arrays,
@@ -94,8 +95,10 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False):
             [int(c) for c in np.asarray(batch.num_edges)],
             NODE_BUDGET,
             overflow_budget=256,
+            merge_targets=pair_merge_targets,
         )
-        batch = batch.replace(pair_plans=pairs.astuple())
+        batch = batch.replace(pair_plans=pairs.astuple(),
+                              pair_targets_merged=pair_merge_targets)
     labels = {
         "node_labels": pad_node_label_array(
             (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET

@@ -17,6 +17,22 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import bench  # noqa: E402
 
 
+# Fast-path batch configuration per flavour: the joint-sum flavours ride the
+# gather-free pair kernel; FiLM and the target-state edge MLP additionally
+# need MERGED-TARGET pair plans (the factorised node-space paths); RGAT's
+# attention pipeline runs on the sorted scatter plans.
+FUSED_BATCH_KWARGS = {
+    "rgcn": {"use_pallas": False, "use_pairs": True},
+    "ggnn": {"use_pallas": False, "use_pairs": True},
+    "rgin": {"use_pallas": False, "use_pairs": True},
+    "gnn_edge_mlp": {"use_pallas": False, "use_pairs": True,
+                     "pair_merge_targets": True},
+    "gnn_film": {"use_pallas": False, "use_pairs": True,
+                 "pair_merge_targets": True},
+    "rgat": {"use_pallas": True},
+}
+
+
 def run_flavour(flavour: str, use_pallas: bool) -> dict:
     import jax
 
@@ -38,7 +54,10 @@ def run_flavour(flavour: str, use_pallas: bool) -> dict:
         params["gnn_num_heads"] = 4  # 320 % 4 == 0 (shipped PPI_RGAT value)
     model = NodeMulticlassTask.from_params(params)
 
-    batch, labels, edges = bench.build_batch(0, use_pallas=use_pallas)
+    batch_kwargs = FUSED_BATCH_KWARGS[flavour] if use_pallas else {
+        "use_pallas": False
+    }
+    batch, labels, edges = bench.build_batch(0, **batch_kwargs)
     batch = jax.device_put(batch)
     labels = jax.device_put(labels)
     optimizer = make_optimizer(params)

