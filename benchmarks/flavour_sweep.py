@@ -18,18 +18,31 @@ import bench  # noqa: E402
 
 
 # Fast-path batch configuration per flavour: the joint-sum flavours ride the
-# gather-free pair kernel; FiLM and the target-state edge MLP additionally
-# need MERGED-TARGET pair plans (the factorised node-space paths); RGAT's
-# attention pipeline runs on the sorted scatter plans.
+# gather-free pair kernel in bfloat16 (as the shipped configs do — f32 tables
+# exceed the VMEM residency budget and decline the pair path); FiLM and the
+# target-state edge MLP additionally need MERGED-TARGET pair plans (the
+# factorised node-space paths); RGAT's attention pipeline runs on the sorted
+# scatter plans. Scatter plans are always built as the fused fallback.
 FUSED_BATCH_KWARGS = {
-    "rgcn": {"use_pallas": False, "use_pairs": True},
-    "ggnn": {"use_pallas": False, "use_pairs": True},
-    "rgin": {"use_pallas": False, "use_pairs": True},
-    "gnn_edge_mlp": {"use_pallas": False, "use_pairs": True,
+    "rgcn": {"use_pallas": True, "use_pairs": True},
+    "ggnn": {"use_pallas": True, "use_pairs": True},
+    "rgin": {"use_pallas": True, "use_pairs": True},
+    "gnn_edge_mlp": {"use_pallas": True, "use_pairs": True,
                      "pair_merge_targets": True},
-    "gnn_film": {"use_pallas": False, "use_pairs": True,
+    "gnn_film": {"use_pallas": True, "use_pairs": True,
                  "pair_merge_targets": True},
     "rgat": {"use_pallas": True},
+}
+
+# Shipped-config stream dtype for the pair flavours; applied to BOTH the XLA
+# and the fused run so speedups isolate the kernel, not the dtype.
+FLAVOUR_PARAMS = {
+    "rgcn": {"gnn_edge_dtype": "bfloat16"},
+    "ggnn": {"gnn_edge_dtype": "bfloat16"},
+    "rgin": {"gnn_edge_dtype": "bfloat16"},
+    "gnn_edge_mlp": {"gnn_edge_dtype": "bfloat16"},
+    "gnn_film": {"gnn_edge_dtype": "bfloat16"},
+    "rgat": {},
 }
 
 
@@ -52,6 +65,7 @@ def run_flavour(flavour: str, use_pallas: bool) -> dict:
         params["gnn_num_edge_MLP_hidden_layers"] = 0  # shipped-config form
     if flavour == "rgat":
         params["gnn_num_heads"] = 4  # 320 % 4 == 0 (shipped PPI_RGAT value)
+    params.update(FLAVOUR_PARAMS[flavour])
     model = NodeMulticlassTask.from_params(params)
 
     batch_kwargs = FUSED_BATCH_KWARGS[flavour] if use_pallas else {

@@ -172,6 +172,29 @@ def test_pair_batches_carry_plans(tmp_path):
     assert batch.scatter_plans is None  # pair mode alone doesn't build these
 
 
+def test_pair_decline_falls_back_without_module_clash(tmp_path, monkeypatch):
+    """When the pair table exceeds the VMEM budget and no scatter plans
+    exist, the layer must decline BEFORE creating the node-space MLP modules
+    (regression: creating them and then falling back to the unfused path
+    raised flax NameInUseError on the shared edge_mlp_layer_* names)."""
+    from tf2_gnn_tpu.ops import pair_spmm as ps
+
+    monkeypatch.setattr(ps, "pair_kernel_applicable",
+                        lambda rows, dtype: False)
+    ds = _pair_dataset(tmp_path)
+    batch, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch.scatter_plans is None
+
+    hp = GNN.get_default_hyperparameters("rgcn")
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch, False)
+    out_declined, _ = gnn.apply(variables, batch, False)
+    out_plain, _ = gnn.apply(variables, batch.replace(pair_plans=None), False)
+    np.testing.assert_allclose(np.asarray(out_declined),
+                               np.asarray(out_plain), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin"])
 def test_pair_path_matches_standard(tmp_path, flavour):
     """The block-pair kernel path is a pure drop-in for the source-table

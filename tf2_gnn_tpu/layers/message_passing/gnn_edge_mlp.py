@@ -293,11 +293,21 @@ class GNN_Edge_MLP(MessagePassing):
         v = batch.num_nodes_padded
 
         if not self.use_target_state_as_input:
-            tables = self._fused_node_space_tables(node_states, batch)
-            if self._pair_path_applicable(batch, tables):
-                return self._pair_sum_aggregate(tables, batch)
-            if batch.scatter_plans is None:
+            # Applicability is decided BEFORE creating any module: falling
+            # back to the unfused path after creating the node-space MLP
+            # would re-create the same named modules (flax NameInUseError).
+            stream_dtype = jnp.dtype(
+                self.edge_dtype if self.edge_dtype != "float32"
+                else jnp.float32
+            )
+            use_pair = self._pair_path_applicable_static(
+                batch, num_types * v, stream_dtype
+            )
+            if not use_pair and batch.scatter_plans is None:
                 return None
+            tables = self._fused_node_space_tables(node_states, batch)
+            if use_pair:
+                return self._pair_sum_aggregate(tables, batch)
             plan = PlanView(batch.scatter_plans)
             tables = self._globalize_tables(tables, batch, num_types)
             if self.normalize_by_num_incoming:
