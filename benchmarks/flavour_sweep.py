@@ -21,8 +21,9 @@ import bench  # noqa: E402
 # gather-free pair kernel in bfloat16 (as the shipped configs do — f32 tables
 # exceed the VMEM residency budget and decline the pair path); FiLM and the
 # target-state edge MLP additionally need MERGED-TARGET pair plans (the
-# factorised node-space paths); RGAT's attention pipeline runs on the sorted
-# scatter plans. Scatter plans are always built as the fused fallback.
+# factorised node-space paths); RGAT runs the flash pair-attention kernels
+# (ops/pair_attention.py) on NON-merged plans. Scatter plans are always
+# built as the fused fallback.
 FUSED_BATCH_KWARGS = {
     "rgcn": {"use_pallas": True, "use_pairs": True},
     "ggnn": {"use_pallas": True, "use_pairs": True},
@@ -31,7 +32,7 @@ FUSED_BATCH_KWARGS = {
                      "pair_merge_targets": True},
     "gnn_film": {"use_pallas": True, "use_pairs": True,
                  "pair_merge_targets": True},
-    "rgat": {"use_pallas": True},
+    "rgat": {"use_pallas": True, "use_pairs": True},
 }
 
 # Shipped-config stream dtype for the pair flavours; applied to BOTH the XLA
@@ -42,7 +43,7 @@ FLAVOUR_PARAMS = {
     "rgin": {"gnn_edge_dtype": "bfloat16"},
     "gnn_edge_mlp": {"gnn_edge_dtype": "bfloat16"},
     "gnn_film": {"gnn_edge_dtype": "bfloat16"},
-    "rgat": {},
+    "rgat": {"gnn_edge_dtype": "bfloat16"},
 }
 
 

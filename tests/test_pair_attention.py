@@ -1,0 +1,290 @@
+"""Flash pair-attention equivalence + VJP tests (ops/pair_attention.py).
+
+CPU tests exercise the plan semantics through the jnp twins (the Pallas
+kernels are equivalence-tested against the twins on TPU — TPU-gated test at
+the bottom, plus benchmarks/pair_attention_probe.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_gnn_tpu.ops import pair_attention as pa
+from tf2_gnn_tpu.ops import pair_spmm as ps
+
+
+def _random_edges(rng, num_types, v, avg_deg=4, clusters=True):
+    srcs, tgts, counts = [], [], []
+    for _ in range(num_types):
+        e = rng.randint(v // 2, v * avg_deg)
+        if clusters:
+            centers = rng.randint(0, v, max(e // 40, 1))
+            base = centers[rng.randint(0, len(centers), e)]
+            src = np.clip(base + rng.randint(-48, 48, e), 0, v - 1)
+            tgt = np.clip(base + rng.randint(-48, 48, e), 0, v - 1)
+        else:
+            src = rng.randint(0, v, e)
+            tgt = rng.randint(0, v, e)
+        budget = ((e + 63) // 64) * 64
+        s = np.full((budget,), v - 1, np.int32)
+        t = np.full((budget,), v - 1, np.int32)
+        s[:e], t[:e] = src, tgt
+        srcs.append(s)
+        tgts.append(t)
+        counts.append(e)
+    return srcs, tgts, counts
+
+
+def _edge_arrays(srcs, tgts, counts, v):
+    """(merged src rows, tgt nodes) over the real edges of every type."""
+    rows, nodes = [], []
+    for l, (s, t, c) in enumerate(zip(srcs, tgts, counts)):
+        rows.append(s[:c].astype(np.int64) + l * v)
+        nodes.append(t[:c].astype(np.int64))
+    return np.concatenate(rows), np.concatenate(nodes)
+
+
+def _dense_reference(table, scores, src_rows, tgt_nodes, v, k):
+    """Float64 edge-wise reference of (denom, weighted) with the same
+    stop-gradient stabiliser semantics (max per (target, head) jointly)."""
+    table = np.asarray(table, np.float64)
+    scores = np.asarray(scores, np.float64)
+    ltype = src_rows // v
+    p = scores[src_rows, :k] + scores[ltype * v + tgt_nodes, k:]
+    logit = np.where(p >= 0, p, pa.LEAKY_SLOPE * p)
+    m = np.full((v, k), pa.NEG, np.float64)
+    np.maximum.at(m, tgt_nodes, logit)
+    m_safe = np.where(m > 0.5 * pa.NEG, m, 0.0)
+    expd = np.exp(logit - m_safe[tgt_nodes])
+    denom = np.zeros((v, k), np.float64)
+    np.add.at(denom, tgt_nodes, expd)
+    h = table.shape[1]
+    head_dim = h // k
+    weighted = np.zeros((v, h), np.float64)
+    np.add.at(weighted, tgt_nodes,
+              table[src_rows] * np.tile(expd, (1, head_dim)))
+    return denom, weighted
+
+
+def _build(rng, v=256, num_types=3, k=4, head_dim=8, **plan_kwargs):
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v, **plan_kwargs)
+    rows = num_types * v
+    table = rng.randn(rows, head_dim * k).astype(np.float32)
+    scores = (0.5 * rng.randn(rows, 2 * k)).astype(np.float32)
+    src_rows, tgt_nodes = _edge_arrays(srcs, tgts, counts, v)
+    return plans, table, scores, src_rows, tgt_nodes
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pair_attention_matches_dense_reference(seed):
+    rng = np.random.RandomState(seed)
+    v, num_types, k, head_dim = 256, 3, 4, 8
+    plans, table, scores, src_rows, tgt_nodes = _build(
+        rng, v, num_types, k, head_dim)
+    denom, weighted = pa.pair_attention(
+        jnp.asarray(table), jnp.asarray(scores), *plans.kernel_arrays, v, k)
+    denom_ref, weighted_ref = _dense_reference(
+        table, scores, src_rows, tgt_nodes, v, k)
+    np.testing.assert_allclose(np.asarray(denom), denom_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(weighted), weighted_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pair_attention_overflow_spill_exact():
+    """Spilled edges must join the same softmax (max AND denominator)."""
+    rng = np.random.RandomState(3)
+    v, num_types, k, head_dim = 512, 2, 4, 4
+    srcs, tgts, counts = _random_edges(rng, num_types, v, clusters=False)
+    total = sum(counts)
+    plans = ps.build_pair_plans(
+        srcs, tgts, counts, v,
+        chunk_budget_fwd=ps.GROUP, chunk_budget_bwd=ps.GROUP,
+        overflow_budget=((total + 63) // 64) * 64,
+    )
+    assert int(np.sum(np.asarray(plans.ovf_tgt) < v)) > 0
+    rows = num_types * v
+    table = rng.randn(rows, head_dim * k).astype(np.float32)
+    scores = (0.5 * rng.randn(rows, 2 * k)).astype(np.float32)
+    src_rows, tgt_nodes = _edge_arrays(srcs, tgts, counts, v)
+    denom, weighted = pa.pair_attention(
+        jnp.asarray(table), jnp.asarray(scores), *plans.kernel_arrays, v, k)
+    denom_ref, weighted_ref = _dense_reference(
+        table, scores, src_rows, tgt_nodes, v, k)
+    np.testing.assert_allclose(np.asarray(denom), denom_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(weighted), weighted_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("spill", [False, True])
+def test_pair_attention_gradients_match_xla(spill):
+    rng = np.random.RandomState(7)
+    v, num_types, k, head_dim = 256, 2, 4, 4
+    srcs, tgts, counts = _random_edges(rng, num_types, v, clusters=not spill)
+    plan_kwargs = {}
+    if spill:
+        total = sum(counts)
+        plan_kwargs = dict(
+            chunk_budget_fwd=ps.GROUP, chunk_budget_bwd=ps.GROUP,
+            overflow_budget=((total + 63) // 64) * 64,
+        )
+    plans = ps.build_pair_plans(srcs, tgts, counts, v, **plan_kwargs)
+    rows = num_types * v
+    table = jnp.asarray(rng.randn(rows, head_dim * k).astype(np.float32))
+    scores = jnp.asarray((0.5 * rng.randn(rows, 2 * k)).astype(np.float32))
+    src_rows, tgt_nodes = _edge_arrays(srcs, tgts, counts, v)
+    cot_d = jnp.asarray(rng.randn(v, k).astype(np.float32))
+    cot_w = jnp.asarray(rng.randn(v, head_dim * k).astype(np.float32))
+
+    def via_pairs(t, s):
+        denom, weighted = pa.pair_attention(
+            t, s, *plans.kernel_arrays, v, k)
+        return jnp.vdot(denom, cot_d) + jnp.vdot(weighted, cot_w)
+
+    def via_xla(t, s):
+        ltype = src_rows // v
+        p = (jnp.take(s, src_rows, axis=0)[:, :k]
+             + jnp.take(s, ltype * v + tgt_nodes, axis=0)[:, k:])
+        logit = jnp.where(p >= 0, p, pa.LEAKY_SLOPE * p)
+        m = jax.ops.segment_max(logit, tgt_nodes, num_segments=v)
+        m = jax.lax.stop_gradient(jnp.where(m > 0.5 * pa.NEG, m, 0.0))
+        expd = jnp.exp(logit - m[tgt_nodes])
+        denom = jax.ops.segment_sum(expd, tgt_nodes, num_segments=v)
+        weighted = jax.ops.segment_sum(
+            jnp.take(t, src_rows, axis=0) * jnp.tile(expd, (1, head_dim)),
+            tgt_nodes, num_segments=v)
+        return jnp.vdot(denom, cot_d) + jnp.vdot(weighted, cot_w)
+
+    g_pair = jax.grad(via_pairs, argnums=(0, 1))(table, scores)
+    g_xla = jax.grad(via_xla, argnums=(0, 1))(table, scores)
+    for a, b in zip(g_pair, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_padding_chunks_inherit_previous_src_block():
+    """d-score run-accumulation invariant: a padding chunk must carry the
+    PREVIOUS real chunk's src block so its composed out-block index revisits
+    (instead of overwriting) an already-accumulated block."""
+    rng = np.random.RandomState(5)
+    v = 512
+    srcs, tgts, counts = _random_edges(rng, 2, v)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v)
+    for plan in (plans.fwd, plans.bwd):
+        padding = (plan.rel_src >= ps.BLK).all(axis=1)
+        prev = np.roll(plan.src_blk, 1)
+        prev[0] = plan.src_blk[0]
+        np.testing.assert_array_equal(plan.src_blk[padding], prev[padding])
+
+
+def test_rgat_pair_path_matches_plain(tmp_path):
+    """RGAT with non-merged pair plans (3 heads -> padded to 4) must match
+    the plain per-edge path, outputs and parameter gradients."""
+    from tests.synthetic_data import write_jsonl_property_dataset
+    from tf2_gnn_tpu import DataFold
+    from tf2_gnn_tpu.data import JsonLGraphPropertyDataset
+    from tf2_gnn_tpu.layers import GNN
+
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update({
+        "num_fwd_edge_types": 1,
+        "max_nodes_per_batch": 40,
+        "use_pair_spmm": True,
+    })
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch_pair.pair_plans is not None
+    assert not batch_pair.pair_targets_merged
+    batch_plain = batch_pair.replace(pair_plans=None)
+
+    hp = GNN.get_default_hyperparameters("rgat")
+    hp.update({"hidden_dim": 12, "num_layers": 2, "num_heads": 3})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(vs, b):
+        out, _ = gnn.apply(vs, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_pair = jax.grad(loss)(variables, batch_pair)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_rgat_pair_applicability_gate():
+    from tf2_gnn_tpu.layers.message_passing.rgat import RGAT
+
+    layer = RGAT(hidden_dim=32, num_heads=4)
+    assert layer._padded_heads() == 4
+    layer3 = RGAT(hidden_dim=30, num_heads=3)
+    assert layer3._padded_heads() == 4
+    assert pa.pair_attention_applicable(
+        512, 256, 32, 4, jnp.float32, jnp.float32)
+    # Non-BLK-aligned node count -> decline.
+    assert not pa.pair_attention_applicable(
+        512, 250, 32, 4, jnp.float32, jnp.float32)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernels run on TPU only")
+def test_pair_attention_kernels_match_twins_on_tpu():
+    rng = np.random.RandomState(0)
+    v, num_types, k, head_dim = 512, 3, 8, 40
+    plans, table, scores, _, _ = _build(rng, v, num_types, k, head_dim)
+    table = jnp.asarray(table)
+    scores = jnp.asarray(scores)
+    args = plans.kernel_arrays
+
+    del args
+    rows = num_types * v
+    f, b = plans.fwd, plans.bwd
+    m_ref = pa.pair_attention_max(scores, *f, v, k, interpret=True)
+    m_dev = pa.pair_attention_max(scores, *f, v, k, interpret=False)
+    np.testing.assert_allclose(np.asarray(m_dev), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-5)
+    m_safe = jnp.where(m_ref > 0.5 * pa.NEG, m_ref, 0.0)
+    expds = {}
+    for swap, plan in ((False, f), (True, b)):
+        e_ref, s_ref = pa.pair_attention_expd(
+            scores, m_safe, *plan, v, k, swap=swap, interpret=True)
+        e_dev, s_dev = pa.pair_attention_expd(
+            scores, m_safe, *plan, v, k, swap=swap, interpret=False)
+        np.testing.assert_allclose(np.asarray(e_dev), np.asarray(e_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_dev), np.asarray(s_ref),
+                                   rtol=1e-6, atol=1e-6)
+        expds[swap] = (e_ref, s_ref)
+    e_f, s_f = expds[False]
+    e_b, s_b = expds[True]
+    for fn, args_ in (
+        (pa.pair_attention_agg, (table, e_f, *f, v, k)),
+        (pa.pair_attention_dtable,
+         (jnp.asarray(np.random.RandomState(1).randn(
+             v, table.shape[1]).astype(np.float32)),
+          e_b, *b, rows, k)),
+    ):
+        r = fn(*args_, interpret=True)
+        d = fn(*args_, interpret=False)
+        for x, y in zip(jax.tree.leaves(d), jax.tree.leaves(r)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=5e-3, atol=5e-3)
+    dw = jnp.asarray(np.random.RandomState(2).randn(
+        v, table.shape[1]).astype(np.float32))
+    dd = jnp.asarray(np.random.RandomState(3).randn(v, k).astype(np.float32))
+    for swap, plan, e, s in ((False, f, e_f, s_f), (True, b, e_b, s_b)):
+        r = pa.pair_attention_dscores(
+            table, dw, dd, e, s, *plan, v, k, swap=swap, interpret=True)
+        d = pa.pair_attention_dscores(
+            table, dw, dd, e, s, *plan, v, k, swap=swap, interpret=False)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(r),
+                                   rtol=5e-3, atol=5e-3)

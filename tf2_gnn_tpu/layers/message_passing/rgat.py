@@ -34,19 +34,115 @@ class RGAT(MessagePassing):
         params.update({"num_heads": 3})
         return params
 
+    def _padded_heads(self) -> int:
+        """Heads padded up to the next divisor of the kernel TILE (the pair
+        attention kernels tile per-head scales across the feature tile, so
+        TILE % K must be 0; pad heads carry neutral scores)."""
+        from ...ops.pair_attention import TILE
+
+        k = self.num_heads
+        while TILE % k:
+            k += 1
+        return k
+
+    def _pair_attention_applicable_static(self, batch: GraphBatch) -> bool:
+        """Shape-only gate for the flash pair-attention path — decided BEFORE
+        any module creation (flax NameInUseError on re-creation)."""
+        from ...ops.pair_attention import pair_attention_applicable
+
+        if (batch.pair_plans is None or batch.pair_targets_merged
+                or batch.spmd_axis is not None):
+            return False
+        stream_dtype = jnp.dtype(
+            self.edge_dtype if self.edge_dtype != "float32" else jnp.float32
+        )
+        k_pad = self._padded_heads()
+        head_dim = self.hidden_dim // self.num_heads
+        rows = batch.num_edge_types * batch.num_nodes_padded
+        return pair_attention_applicable(
+            rows, batch.num_nodes_padded, head_dim * k_pad, k_pad,
+            stream_dtype, stream_dtype,
+        )
+
+    def _pair_attention_aggregate(self, node_states, batch: GraphBatch):
+        """Flash-style fused RGAT on the block-pair plans
+        (ops/pair_attention.py): max, expd, denominators and exp-weighted
+        sums all run on the chunk structure — no per-edge XLA gathers at
+        all. Heads are padded to a TILE divisor with neutral scores
+        (source half 0, target half NEG => expd exactly 0)."""
+        from ...ops.pair_attention import NEG, pair_attention
+        from ...utils.constants import SMALL_NUMBER
+
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+        heads = self.num_heads
+        head_dim = self.hidden_dim // heads
+        k_pad = self._padded_heads()
+
+        transformed = TypedLinear(
+            num_types, node_states.shape[-1], self.hidden_dim,
+            name="edge_weights",
+        )(node_states)  # [L, V, H]
+        attention_params = self.param(
+            "edge_attention_parameters",
+            nn.initializers.glorot_uniform(batch_axis=(0,)),
+            (num_types, heads, 2 * head_dim),
+        )
+        per_head = transformed.reshape(num_types, v, heads, head_dim)
+        src_scores = jnp.einsum(
+            "lvkd,lkd->lvk", per_head, attention_params[:, :, :head_dim]
+        )
+        tgt_scores = jnp.einsum(
+            "lvkd,lkd->lvk", per_head, attention_params[:, :, head_dim:]
+        )
+        if k_pad != heads:
+            pad = ((0, 0), (0, 0), (0, k_pad - heads))
+            src_scores = jnp.pad(src_scores, pad)
+            tgt_scores = jnp.pad(tgt_scores, pad, constant_values=NEG)
+            per_head = jnp.pad(
+                per_head, ((0, 0), (0, 0), (0, k_pad - heads), (0, 0))
+            )
+        # HK-MAJOR message layout (column hd * K + k) aligns a tiled repeat
+        # of the K expd columns with the feature tile.
+        table_hk = per_head.transpose(0, 1, 3, 2).reshape(
+            num_types * v, head_dim * k_pad
+        )
+        scores = jnp.concatenate(
+            [src_scores.reshape(num_types * v, k_pad),
+             tgt_scores.reshape(num_types * v, k_pad)],
+            axis=1,
+        )
+        if self.edge_dtype != "float32":
+            table_hk = table_hk.astype(self.edge_dtype)
+            scores = scores.astype(self.edge_dtype)
+
+        denom, weighted = pair_attention(
+            table_hk, scores, *batch.pair_plans[:10], v, k_pad
+        )
+        weighted = weighted / (jnp.tile(denom, (1, head_dim)) + SMALL_NUMBER)
+        # Drop pad heads and restore the reference's concat-head layout.
+        out = weighted.reshape(v, head_dim, k_pad)[:, :, :heads]
+        return out.transpose(0, 2, 1).reshape(v, self.hidden_dim)
+
     def _fused_sum_aggregate(self, node_states, batch: GraphBatch, training):
         """Fused RGAT: the SDDMM collapses to two node-space score tables, so
         per edge the path is ONE bundled source gather (transformed states +
         source score halves), one type-minor target gather of the target
         halves, the Pallas segment-max for softmax stabilisation, and the
         fused attention kernel that produces softmax denominators AND
-        exp-weighted message sums in a single pass."""
+        exp-weighted message sums in a single pass. Preferred: the fully
+        gather-free pair-attention path (_pair_attention_aggregate)."""
         if (
-            batch.scatter_plans is None
+            (batch.scatter_plans is None and batch.pair_plans is None)
             or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or self.message_activation_before_aggregation
+            or self.hidden_dim % self.num_heads
         ):
+            return None
+        if self._pair_attention_applicable_static(batch):
+            return self._pair_attention_aggregate(node_states, batch)
+        if batch.scatter_plans is None:
             return None
         from ...ops.segment import segment_log_softmax
         from ...ops.spmm_pallas import (

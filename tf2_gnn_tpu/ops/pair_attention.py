@@ -1,0 +1,927 @@
+"""Flash-style RGAT attention on the block-pair plan structure.
+
+Replaces the sorted-scatter RGAT pipeline (XLA bundled gather + Pallas
+segment-max + XLA max-gather + ``attention_scatter``) with pair-structured
+kernels that never leave the chunk layout and never row-gather on XLA:
+
+* ``_max_kernel``   (fwd, grouped): per-(target, head) running max of the
+  LeakyReLU logits, reading both score halves from ONE VMEM-resident packed
+  score table ``[L*V, 2K]`` (columns 0..K-1 source halves, K..2K-1 target
+  halves — both live in the merged ``l*V + node`` row space).
+* ``_expd_kernel``  (fwd/bwd, grouped): materialises per-slot
+  ``expd = exp(leaky(p) - max[tgt])`` and the LeakyReLU slope, in the slot
+  order of EITHER plan direction (the backward pass recomputes expd in
+  backward slot order instead of row-gathering it through ``bwd2fwd``).
+* ``_agg_kernel``   (fwd, grouped): the pair SpMM generalised to per-slot
+  PER-HEAD scales — one pass emits softmax denominators [V, K] AND
+  exp-weighted message sums [V, H] with the message table feature tile
+  resident in VMEM. Messages use the HK-MAJOR head layout (column
+  ``hd*K + k``) so a ``pltpu.repeat`` of the K expd columns aligns.
+* ``_dscore_kernel`` (fwd or bwd, ungrouped): streams full-width table and
+  cotangent blocks per chunk and emits the per-slot logit cotangent
+  scattered to the TARGET score table (fwd plan) or SOURCE score table
+  (bwd plan) — both in the merged [L*V, K] space.
+* ``_dtable_kernel`` (bwd, grouped): d_table[u] += expd * d_weighted[v]
+  with the cotangent feature tile resident.
+
+Edges that spilled the pair-chunk budget contribute through an XLA overflow
+term INSIDE the custom VJP (they participate in the same softmax).
+
+Semantics replicate reference rgat.py:91-163 (scores ``LeakyReLU(a_l_k .
+concat(src, tgt))``, softmax per target over all edge types jointly,
+exp-weighted sum per head); the score decomposition into node-space tables
+is the classic GAT trick already used by layers/message_passing/rgat.py.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pair_spmm import BLK, E_C, GROUP
+
+TILE = 128
+NEG = -1e30
+LEAKY_SLOPE = 0.2
+# Resident VMEM budgets (bytes): the packed score table for the max/expd
+# kernels, and the message-table feature tile for the aggregation kernel.
+SCORE_BUDGET_BYTES = 12 * 1024 * 1024
+TABLE_BUDGET_BYTES = 11 * 1024 * 1024
+
+
+def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
+                              num_heads: int, table_dtype,
+                              score_dtype) -> bool:
+    """Static check for the fused pair-attention path."""
+    if num_heads <= 0 or hidden_dim % num_heads or TILE % num_heads:
+        return False
+    if num_nodes % BLK or rows % BLK:
+        return False
+    table_bytes = rows * TILE * jnp.dtype(table_dtype).itemsize
+    score_bytes = rows * 2 * num_heads * jnp.dtype(score_dtype).itemsize
+    # VMEM residency is 128-lane physical regardless of logical width.
+    score_resident = rows * 128 * jnp.dtype(score_dtype).itemsize
+    maxes_resident = num_nodes * 128 * 4
+    del score_bytes
+    return (table_bytes <= TABLE_BUDGET_BYTES
+            and score_resident + maxes_resident <= SCORE_BUDGET_BYTES)
+
+
+def _pad_cols(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    pad = (-x.shape[-1]) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt):
+    """Absolute (src_row, tgt_row, valid) per slot of one plan direction."""
+    rel_s = jnp.asarray(rel_src).reshape(-1)
+    rel_t = jnp.asarray(rel_tgt).reshape(-1)
+    chunk = jnp.arange(rel_s.shape[0]) // E_C
+    srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
+    tgtabs = (jnp.asarray(grp_tgt)[chunk // GROUP] * BLK
+              + jnp.minimum(rel_t, BLK - 1))
+    valid = (rel_s < BLK) & (rel_t < BLK)
+    return srcabs, tgtabs, valid
+
+
+def _slot_logits_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
+                     num_nodes: int, swap: bool):
+    """Per-slot (pre-activation p, logit, tgt node, src row, valid) on one
+    plan direction. ``swap=True`` reads a BACKWARD plan, whose plan-"src"
+    role is the original target node and plan-"tgt" role the source row."""
+    a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
+    if swap:
+        src_rows, tgt_nodes = b_abs, a_abs
+    else:
+        src_rows, tgt_nodes = a_abs, b_abs
+    k = scores.shape[1] // 2
+    v = num_nodes
+    ltype = src_rows // v
+    ss = jnp.take(scores, src_rows, axis=0, mode="clip")[:, :k]
+    ts = jnp.take(scores, ltype * v + tgt_nodes, axis=0, mode="clip")[:, k:]
+    p = ss.astype(jnp.float32) + ts.astype(jnp.float32)
+    logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+    return p, logit, tgt_nodes, src_rows, valid
+
+
+# ---------------------------------------------------------------------------
+# Kernel A1: per-(target, head) max of the logits (forward plan, grouped).
+# ---------------------------------------------------------------------------
+
+def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = scores.shape[0]
+    k2 = scores.shape[1]
+    k = num_heads
+    v = num_nodes
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+    v_blocks = v // BLK
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
+               neg_ref, out_ref, sc_vmem, copy_sem):
+        del neg_ref
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            dma = pltpu.make_async_copy(scores_hbm, sc_vmem, copy_sem)
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        m_local = jnp.full((BLK, k), NEG, jnp.float32)
+        for c in range(GROUP):
+            rel_s = rel_s_ref[c, :]
+            rel_t = rel_t_ref[c, :]
+            sblk = src_blk_ref[g * GROUP + c]
+            tsb = (sblk * BLK // v) * v_blocks + grp_tgt_ref[g]
+            oh_s = (cols_i == rel_s[:, None]).astype(sc_vmem.dtype)
+            oh_tT = (cols_i == rel_t[:, None]).astype(sc_vmem.dtype)
+            ss = jnp.dot(oh_s, sc_vmem[pl.ds(sblk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)[:, :k]
+            ts = jnp.dot(oh_tT, sc_vmem[pl.ds(tsb * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)[:, k:2 * k]
+            p = ss + ts
+            logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+            valid = (rel_s < BLK) & (rel_t < BLK)
+            logit = jnp.where(valid[:, None], logit, NEG)
+            oh_t_bool = rows_i == rel_t[None, :]
+            cols = []
+            for h in range(k):
+                lk = logit[:, h][None, :]  # [1, E_C] -> bcast over BLK rows
+                cols.append(jnp.max(
+                    jnp.where(oh_t_bool, lk, NEG), axis=1))
+            m_local = jnp.maximum(m_local, jnp.stack(cols, axis=1))
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = m_local
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = jnp.maximum(out_ref[:, :], m_local)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed scores stay in HBM
+            pl.BlockSpec((BLK, k), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),  # neg -> out alias
+        ],
+        out_specs=pl.BlockSpec((BLK, k), lambda g, s, tb: (tb[g], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, k2), scores.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    neg = jnp.full((v, k), NEG, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, k), jnp.float32),
+        input_output_aliases={5: 0},
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), scores, neg)
+
+
+def _max_kernel_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
+                    num_nodes: int, num_heads: int):
+    del num_heads
+    _, logit, tgt, _, valid = _slot_logits_jnp(
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=False)
+    logit = jnp.where(valid[:, None], logit, NEG)
+    seg = jnp.where(valid, tgt, num_nodes)
+    return jax.ops.segment_max(
+        logit, seg, num_segments=num_nodes + 1
+    )[:num_nodes]
+
+
+def pair_attention_max(scores, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int, interpret=None):
+    """[V, K] per-(target, head) max logit over the plan's kernel slots
+    (NEG on targets with no in-edges)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _max_kernel_jnp if interpret else _max_kernel_device
+    out = fn(scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads)
+    if interpret:
+        # segment_max leaves -inf/zeros mix; normalise empty targets to NEG.
+        out = jnp.maximum(out, NEG)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel A2: per-slot expd + LeakyReLU slope, either plan direction.
+# ---------------------------------------------------------------------------
+
+def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                        num_nodes: int, num_heads: int, swap: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = scores.shape[0]
+    k2 = scores.shape[1]
+    k = num_heads
+    v = num_nodes
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+    v_blocks = v // BLK
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
+               maxes_hbm, expd_ref, slope_ref, sc_vmem, mx_vmem, sem1, sem2):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            dma1 = pltpu.make_async_copy(scores_hbm, sc_vmem, sem1)
+            dma1.start()
+            dma2 = pltpu.make_async_copy(maxes_hbm, mx_vmem, sem2)
+            dma2.start()
+            dma1.wait()
+            dma2.wait()
+
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        for c in range(GROUP):
+            rel_s = rel_s_ref[c, :]
+            rel_t = rel_t_ref[c, :]
+            if swap:
+                # Backward plan: plan-"src" = target node, plan-"tgt" = row.
+                u_blk = (grp_tgt_ref[g]).astype(jnp.int32)
+                v_blk = src_blk_ref[g * GROUP + c]
+                rel_u, rel_v = rel_t, rel_s
+            else:
+                u_blk = src_blk_ref[g * GROUP + c]
+                v_blk = grp_tgt_ref[g]
+                rel_u, rel_v = rel_s, rel_t
+            tsb = (u_blk * BLK // v) * v_blocks + v_blk
+            oh_u = (cols_i == rel_u[:, None]).astype(sc_vmem.dtype)
+            oh_v = (cols_i == rel_v[:, None]).astype(sc_vmem.dtype)
+            ss = jnp.dot(oh_u, sc_vmem[pl.ds(u_blk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)[:, :k]
+            ts = jnp.dot(oh_v, sc_vmem[pl.ds(tsb * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)[:, k:2 * k]
+            mx = jnp.dot(oh_v.astype(jnp.float32),
+                         mx_vmem[pl.ds(v_blk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)
+            p = ss + ts
+            logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+            valid = (rel_s < BLK) & (rel_t < BLK)
+            expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+            slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+            expd_ref[pl.ds(c * E_C, E_C), :] = expd
+            slope_ref[pl.ds(c * E_C, E_C), :] = slope
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((GROUP * E_C, k), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * E_C, k), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, k2), scores.dtype),
+            pltpu.VMEM((num_nodes, k), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_chunks * E_C, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks * E_C, k), jnp.float32),
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), scores, maxes)
+
+
+def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                     num_nodes: int, num_heads: int, swap: bool):
+    del num_heads
+    p, logit, tgt, _, valid = _slot_logits_jnp(
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap)
+    mx = jnp.take(maxes, tgt, axis=0, mode="clip")
+    expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+    slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+    return expd, slope
+
+
+def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                        num_nodes: int, num_heads: int, swap: bool = False,
+                        interpret=None):
+    """Per-slot (expd, slope) in the slot order of the given plan direction.
+    ``maxes`` must already include overflow-edge contributions."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _expd_kernel_jnp if interpret else _expd_kernel_device
+    return fn(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+              num_nodes, num_heads, swap)
+
+# ---------------------------------------------------------------------------
+# Kernel B: softmax denominators + exp-weighted message sums (forward plan,
+# grouped, message-table feature tile resident).
+# ---------------------------------------------------------------------------
+
+def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = table.shape[-1]
+    table = _pad_cols(table, TILE)
+    rows, h = table.shape
+    k = num_heads
+    v = num_nodes
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+    h_tiles = h // TILE
+    rep = TILE // k
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
+               table_hbm, zeros_d_ref, zeros_w_ref, denom_ref, weighted_ref,
+               table_vmem, copy_sem):
+        del zeros_d_ref, zeros_w_ref
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                table_hbm.at[:, pl.ds(t * TILE, TILE)], table_vmem, copy_sem
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        w_contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        d_contrib = jnp.zeros((BLK, k), jnp.float32)
+        for c in range(GROUP):
+            rel_s = rel_s_ref[c, :]
+            rel_t = rel_t_ref[c, :]
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, K] f32
+            oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
+            blk = src_blk_ref[g * GROUP + c]
+            msgs = jnp.dot(oh_s, table_vmem[pl.ds(blk * BLK, BLK), :],
+                           preferred_element_type=jnp.float32)
+            scaled = msgs * pltpu.repeat(e_c, rep, axis=1)
+            oh_t = (rows_i == rel_t[None, :]).astype(jnp.float32)
+            w_contrib = w_contrib + jnp.dot(
+                oh_t, scaled, preferred_element_type=jnp.float32)
+            d_contrib = d_contrib + jnp.dot(
+                oh_t, e_c, preferred_element_type=jnp.float32)
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(jnp.logical_and(first, t == 0))
+        def _():
+            denom_ref[:, :] = d_contrib
+
+        @pl.when(jnp.logical_and(jnp.logical_not(first), t == 0))
+        def _():
+            denom_ref[:, :] = denom_ref[:, :] + d_contrib
+
+        @pl.when(first)
+        def _():
+            weighted_ref[:, :] = w_contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            weighted_ref[:, :] = weighted_ref[:, :] + w_contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * E_C, k), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec((BLK, k), lambda t, g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),   # zeros -> denom alias
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                         memory_space=pltpu.VMEM),   # zeros -> weighted alias
+        ],
+        out_specs=(
+            pl.BlockSpec((BLK, k), lambda t, g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, TILE), table.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros_d = jnp.zeros((v, k), jnp.float32)
+    zeros_w = jnp.zeros((v, h), jnp.float32)
+    denom, weighted = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((v, k), jnp.float32),
+            jax.ShapeDtypeStruct((v, h), jnp.float32),
+        ),
+        input_output_aliases={6: 0, 7: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (2 * BLK * E_C * TILE) * h_tiles,
+            bytes_accessed=rows * h * table.dtype.itemsize
+            + num_chunks * E_C * (8 + 4 * k) + v * h * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), expd, table, zeros_d, zeros_w)
+    return denom, weighted[:, :orig_h]
+
+
+def _agg_kernel_jnp(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                    num_nodes: int, num_heads: int):
+    srcabs, tgtabs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
+    head_dim = table.shape[1] // num_heads
+    msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
+    e = expd * valid[:, None]
+    seg = jnp.where(valid, tgtabs, num_nodes)
+    weighted = jax.ops.segment_sum(
+        msgs * jnp.tile(e, (1, head_dim)), seg, num_segments=num_nodes + 1
+    )[:num_nodes]
+    denom = jax.ops.segment_sum(
+        e, seg, num_segments=num_nodes + 1
+    )[:num_nodes]
+    return denom, weighted
+
+
+def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int, interpret=None):
+    """(denom [V, K], weighted [V, H]) — softmax denominators and
+    exp-weighted hk-major message sums over the forward plan's slots."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _agg_kernel_jnp if interpret else _agg_kernel_device
+    return fn(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+              num_nodes, num_heads)
+
+# ---------------------------------------------------------------------------
+# Kernel C: per-slot logit cotangent, scattered to a score table.
+# Runs on the FORWARD plan to produce d_tgt_scores [L*V, K] (slots of one
+# (type, target-block) pair stay consecutive, so run-accumulation holds) or
+# on the BACKWARD plan to produce d_src_scores [L*V, K].
+# ---------------------------------------------------------------------------
+
+def _dscore_kernel_device(table, d_weighted, d_denom, expd, slope,
+                          rel_src, rel_tgt, src_blk, grp_tgt,
+                          num_nodes: int, num_heads: int, swap: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    table = _pad_cols(table, TILE)
+    d_weighted = _pad_cols(d_weighted, TILE)
+    rows, h = table.shape
+    k = num_heads
+    v = num_nodes
+    v_blocks = v // BLK
+    num_chunks = rel_src.shape[0]
+    # hk-major head-sum matrix: column h belongs to head h % K.
+    p_mat = (np.arange(h)[:, None] % k == np.arange(k)[None, :]
+             ).astype(np.float32)
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
+               slope_ref, table_blk_ref, dw_blk_ref, dd_blk_ref, p_ref,
+               zeros_ref, out_ref):
+        del zeros_ref
+        c = pl.program_id(0)
+        rel_s = rel_s_ref[0, :]
+        rel_t = rel_t_ref[0, :]
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        if swap:
+            rel_u, rel_v = rel_t, rel_s
+        else:
+            rel_u, rel_v = rel_s, rel_t
+        oh_u = (cols_i == rel_u[:, None])
+        oh_v = (cols_i == rel_v[:, None])
+        msgs = jnp.dot(oh_u.astype(table_blk_ref.dtype), table_blk_ref[:, :],
+                       preferred_element_type=jnp.float32)   # [E_C, H]
+        dwg = jnp.dot(oh_v.astype(dw_blk_ref.dtype), dw_blk_ref[:, :],
+                      preferred_element_type=jnp.float32)    # [E_C, H]
+        ddg = jnp.dot(oh_v.astype(jnp.float32), dd_blk_ref[:, :],
+                      preferred_element_type=jnp.float32)    # [E_C, K]
+        de = jnp.dot(msgs * dwg, p_ref[:, :],
+                     preferred_element_type=jnp.float32) + ddg
+        d_p = expd_ref[:, :] * slope_ref[:, :] * de          # [E_C, K]
+        # Scatter to the plan-"tgt" side (fwd: merged (type, target) row
+        # block; bwd: merged source-row block).
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        oh_out = (rows_i == rel_t[None, :]).astype(jnp.float32)
+        contrib = jnp.dot(oh_out, d_p, preferred_element_type=jnp.float32)
+
+        g = c // GROUP
+        sblk_prev = src_blk_ref[jnp.maximum(c - 1, 0)]
+        if swap:
+            # bwd plan: out block IS grp_tgt (merged source rows).
+            prev_out = grp_tgt_ref[jnp.maximum(c - 1, 0) // GROUP]
+            cur_out = grp_tgt_ref[g]
+        else:
+            # fwd plan: out block = type(src_blk) * v_blocks + grp_tgt.
+            prev_out = ((sblk_prev * BLK // v) * v_blocks
+                        + grp_tgt_ref[jnp.maximum(c - 1, 0) // GROUP])
+            cur_out = ((src_blk_ref[c] * BLK // v) * v_blocks
+                       + grp_tgt_ref[g])
+        first = jnp.logical_or(c == 0, cur_out != prev_out)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + contrib
+
+    def out_index(c, sblk, gtgt):
+        if swap:
+            return (gtgt[c // GROUP], 0)
+        return ((sblk[c] * BLK // v) * v_blocks + gtgt[c // GROUP], 0)
+
+    def u_index(c, sblk, gtgt):
+        # Block holding the gathered-message rows (original source rows).
+        if swap:
+            return (gtgt[c // GROUP], 0)
+        return (sblk[c], 0)
+
+    def v_index(c, sblk, gtgt):
+        # Block holding the cotangent rows (original target nodes).
+        if swap:
+            return (sblk[c], 0)
+        return (gtgt[c // GROUP], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, E_C), lambda c, *s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E_C), lambda c, *s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E_C, k), lambda c, *s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E_C, k), lambda c, *s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, h), u_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, h), v_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, k), v_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, k), lambda c, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, k), out_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLK, k), out_index,
+                               memory_space=pltpu.VMEM),
+    )
+    zeros = jnp.zeros((rows, k), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, k), jnp.float32),
+        input_output_aliases={10: 0},
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), expd, slope, table, d_weighted, d_denom,
+      jnp.asarray(p_mat), zeros)
+
+
+def _dscore_kernel_jnp(table, d_weighted, d_denom, expd, slope,
+                       rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int, swap: bool):
+    rows = table.shape[0]
+    v = num_nodes
+    k = num_heads
+    head_dim = table.shape[1] // k
+    a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
+    if swap:
+        src_rows, tgt_nodes = b_abs, a_abs
+        out_row = src_rows
+    else:
+        src_rows, tgt_nodes = a_abs, b_abs
+        out_row = (src_rows // v) * v + tgt_nodes
+    msgs = jnp.take(table, src_rows, axis=0, mode="clip").astype(jnp.float32)
+    dwg = jnp.take(d_weighted, tgt_nodes, axis=0, mode="clip")
+    ddg = jnp.take(d_denom, tgt_nodes, axis=0, mode="clip")
+    de = (msgs * dwg).reshape(-1, head_dim, k).sum(axis=1) + ddg
+    d_p = expd * slope * de * valid[:, None]
+    seg = jnp.where(valid, out_row, rows)
+    return jax.ops.segment_sum(d_p, seg, num_segments=rows + 1)[:rows]
+
+
+def pair_attention_dscores(table, d_weighted, d_denom, expd, slope,
+                           rel_src, rel_tgt, src_blk, grp_tgt,
+                           num_nodes: int, num_heads: int, swap: bool,
+                           interpret=None):
+    """Per-slot logit cotangents scattered into a merged [L*V, K] score
+    table: the TARGET halves' gradient on the forward plan (``swap=False``),
+    the SOURCE halves' gradient on the backward plan (``swap=True``).
+    ``expd``/``slope`` must be in the matching plan direction's slot order."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _dscore_kernel_jnp if interpret else _dscore_kernel_device
+    return fn(table, d_weighted, d_denom, expd, slope, rel_src, rel_tgt,
+              src_blk, grp_tgt, num_nodes, num_heads, swap)
+
+# ---------------------------------------------------------------------------
+# Kernel D: message-table gradient (backward plan, grouped, cotangent
+# feature tile resident).
+# ---------------------------------------------------------------------------
+
+def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
+                          grp_tgt, rows: int, num_heads: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = d_weighted.shape[-1]
+    d_weighted = _pad_cols(d_weighted, TILE)
+    v, h = d_weighted.shape
+    k = num_heads
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+    h_tiles = h // TILE
+    rep = TILE // k
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
+               dw_hbm, zeros_ref, out_ref, dw_vmem, copy_sem):
+        del zeros_ref
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                dw_hbm.at[:, pl.ds(t * TILE, TILE)], dw_vmem, copy_sem
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        for c in range(GROUP):
+            rel_v = rel_s_ref[c, :]   # plan-"src" = original target node
+            rel_u = rel_t_ref[c, :]   # plan-"tgt" = original source row
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, K]
+            vblk = src_blk_ref[g * GROUP + c]
+            oh_v = (cols_i == rel_v[:, None]).astype(jnp.float32)
+            g_rows = jnp.dot(oh_v, dw_vmem[pl.ds(vblk * BLK, BLK), :],
+                             preferred_element_type=jnp.float32)
+            scaled = g_rows * pltpu.repeat(e_c, rep, axis=1)
+            oh_u = (rows_i == rel_u[None, :]).astype(jnp.float32)
+            contrib = contrib + jnp.dot(
+                oh_u, scaled, preferred_element_type=jnp.float32)
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * E_C, k), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # d_weighted stays in HBM
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                         memory_space=pltpu.VMEM),  # zeros -> out alias
+        ],
+        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v, TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((rows, h), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), jnp.float32),
+        input_output_aliases={6: 0},
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), expd_b, d_weighted.astype(jnp.float32), zeros)
+    return out[:, :orig_h]
+
+
+def _dtable_kernel_jnp(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
+                       grp_tgt, rows: int, num_heads: int):
+    head_dim = d_weighted.shape[1] // num_heads
+    v_abs, u_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
+    g_rows = jnp.take(d_weighted, v_abs, axis=0, mode="clip")
+    scaled = g_rows * jnp.tile(expd_b * valid[:, None], (1, head_dim))
+    seg = jnp.where(valid, u_abs, rows)
+    return jax.ops.segment_sum(scaled, seg, num_segments=rows + 1)[:rows]
+
+
+def pair_attention_dtable(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
+                          grp_tgt, rows: int, num_heads: int,
+                          interpret=None):
+    """Message-table gradient over the BACKWARD plan:
+    ``d_table[u, hd*K+k] = sum over edges (u -> v) of expd * d_weighted[v]``.
+    ``expd_b`` must be in backward slot order."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _dtable_kernel_jnp if interpret else _dtable_kernel_device
+    return fn(d_weighted, expd_b, rel_src, rel_tgt, src_blk, grp_tgt,
+              rows, num_heads)
+
+# ---------------------------------------------------------------------------
+# The full fused attention primitive.
+# ---------------------------------------------------------------------------
+
+def _overflow_logits(scores, ovf_src, ovf_tgt, num_nodes: int):
+    """(p, logit, valid) of the overflow edges (tiny XLA gathers)."""
+    k = scores.shape[1] // 2
+    v = num_nodes
+    valid = ovf_tgt < v
+    ltype = ovf_src // v
+    ss = jnp.take(scores, ovf_src, axis=0, mode="clip")[:, :k]
+    ts_row = ltype * v + jnp.minimum(ovf_tgt, v - 1)
+    ts = jnp.take(scores, ts_row, axis=0, mode="clip")[:, k:]
+    p = ss.astype(jnp.float32) + ts.astype(jnp.float32)
+    logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+    return p, logit, valid
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def pair_attention(
+    table_hk: jnp.ndarray,      # [L*V, H] transformed states, HK-MAJOR heads
+    scores: jnp.ndarray,        # [L*V, 2K] packed (src | tgt) score halves
+    rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,   # forward PairPlan
+    rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,   # backward PairPlan
+    ovf_src, ovf_tgt,
+    num_nodes: int,
+    num_heads: int,
+):
+    """Fused relational multi-head attention aggregation on pair plans:
+
+        denom[v, k]         = sum over edges e=(u -> v) of expd_e[k]
+        weighted[v, hd*K+k] = sum over edges e of expd_e[k] * table[row_e, .]
+
+    with ``expd_e = exp(LeakyReLU(ss[row_e] + ts[l_e*V + v]) - max_v)`` and
+    the max taken per (target, head) over ALL edge types jointly (reference
+    rgat.py:139-151). The caller divides and re-layouts heads. Pass plan
+    arrays from ``PairPlans.kernel_arrays``.
+    """
+    denom, weighted, _ = _pair_attention_fwd_parts(
+        table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+        ovf_src, ovf_tgt, num_nodes, num_heads,
+    )
+    return denom, weighted
+
+
+def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
+                              src_blk_f, grp_tgt_f, ovf_src, ovf_tgt,
+                              num_nodes: int, num_heads: int):
+    v = num_nodes
+    k = num_heads
+    head_dim = table_hk.shape[1] // k
+    m_k = pair_attention_max(scores, rel_src_f, rel_tgt_f, src_blk_f,
+                             grp_tgt_f, v, k)
+    p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
+    seg_o = jnp.where(valid_o, ovf_tgt, v)
+    m_o = jax.ops.segment_max(
+        jnp.where(valid_o[:, None], l_o, NEG), seg_o, num_segments=v + 1
+    )[:v]
+    m = jnp.maximum(m_k, jnp.maximum(m_o, NEG))
+    # Targets with no in-edges keep a finite stabiliser so exp() stays 0.
+    m_safe = jax.lax.stop_gradient(jnp.where(m > 0.5 * NEG, m, 0.0))
+
+    expd_f, slope_f = pair_attention_expd(
+        scores, m_safe, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k,
+        swap=False,
+    )
+    denom, weighted = pair_attention_agg(
+        table_hk, expd_f, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k,
+    )
+
+    expd_o = jnp.where(
+        valid_o[:, None],
+        jnp.exp(l_o - jnp.take(m_safe, jnp.minimum(ovf_tgt, v - 1),
+                               axis=0, mode="clip")),
+        0.0,
+    )
+    slope_o = jnp.where(p_o >= 0, 1.0, LEAKY_SLOPE)
+    msgs_o = jnp.take(table_hk, ovf_src, axis=0,
+                      mode="clip").astype(jnp.float32)
+    denom = denom + jax.ops.segment_sum(
+        expd_o, seg_o, num_segments=v + 1)[:v]
+    weighted = weighted + jax.ops.segment_sum(
+        msgs_o * jnp.tile(expd_o, (1, head_dim)), seg_o,
+        num_segments=v + 1)[:v]
+    return denom, weighted, (m_safe, expd_f, slope_f, expd_o, slope_o)
+
+
+def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+            rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt,
+            num_nodes, num_heads):
+    denom, weighted, saved = _pair_attention_fwd_parts(
+        table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+        ovf_src, ovf_tgt, num_nodes, num_heads,
+    )
+    m_safe, expd_f, slope_f, expd_o, slope_o = saved
+    res = (table_hk, scores, m_safe, expd_f, slope_f, expd_o, slope_o,
+           rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+           rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt)
+    return (denom, weighted), res
+
+
+def _pa_bwd(num_nodes, num_heads, res, g):
+    (table_hk, scores, m_safe, expd_f, slope_f, expd_o, slope_o,
+     rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+     rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt) = res
+    d_denom, d_weighted = g
+    d_denom = d_denom.astype(jnp.float32)
+    d_weighted = d_weighted.astype(jnp.float32)
+    v = num_nodes
+    k = num_heads
+    rows = table_hk.shape[0]
+    head_dim = table_hk.shape[1] // k
+
+    # Target-half score gradients on the forward plan (merged (type, target)
+    # row runs are consecutive there).
+    d_ts = pair_attention_dscores(
+        table_hk, d_weighted, d_denom, expd_f, slope_f,
+        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k, swap=False,
+    )
+    # expd in BACKWARD slot order is recomputed (a grouped kernel pass) —
+    # cheaper than row-gathering [slots, K] rows through a slot permutation.
+    expd_b, slope_b = pair_attention_expd(
+        scores, m_safe, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
+        swap=True,
+    )
+    d_ss = pair_attention_dscores(
+        table_hk, d_weighted, d_denom, expd_b, slope_b,
+        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k, swap=True,
+    )
+    d_table = pair_attention_dtable(
+        d_weighted, expd_b, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+        rows, k,
+    )
+
+    # Overflow-edge contributions (tiny XLA gathers/scatters).
+    valid_o = ovf_tgt < v
+    tgt_o = jnp.minimum(ovf_tgt, v - 1)
+    dwg_o = jnp.take(d_weighted, tgt_o, axis=0) * valid_o[:, None]
+    ddg_o = jnp.take(d_denom, tgt_o, axis=0) * valid_o[:, None]
+    msgs_o = jnp.take(table_hk, ovf_src, axis=0,
+                      mode="clip").astype(jnp.float32)
+    de_o = ((msgs_o * dwg_o).reshape(-1, head_dim, k).sum(axis=1) + ddg_o)
+    d_p_o = expd_o * slope_o * de_o
+    d_table = d_table + jax.ops.segment_sum(
+        dwg_o * jnp.tile(expd_o, (1, head_dim)), ovf_src,
+        num_segments=rows)
+    d_ss = d_ss + jax.ops.segment_sum(d_p_o, ovf_src, num_segments=rows)
+    ltype_o = ovf_src // v
+    d_ts = d_ts + jax.ops.segment_sum(
+        d_p_o, jnp.where(valid_o, ltype_o * v + tgt_o, rows),
+        num_segments=rows + 1)[:rows]
+
+    d_scores = jnp.concatenate([d_ss, d_ts], axis=1).astype(scores.dtype)
+    return (d_table.astype(table_hk.dtype), d_scores) + (None,) * 10
+
+
+pair_attention.defvjp(_pa_fwd, _pa_bwd)

@@ -209,10 +209,17 @@ def _plan_one_direction(
         have = chunk_pair >= 0
         src_blk[have] = s_sb[starts[kept_idx]][chunk_pair[have]]
         tgt_blk[have] = s_tb[starts[kept_idx]][chunk_pair[have]]
-        # Padding chunks inside/after runs inherit a non-decreasing tgt block.
+        # Padding chunks inside/after runs inherit a non-decreasing tgt block
+        # and the PREVIOUS real chunk's src block: consumers that compose
+        # their output-block index from src_blk (pair_attention's d-score
+        # kernel) then see padding chunks as revisits of the preceding block
+        # (zero contribution) instead of spurious "first visit" overwrites.
         if not have.all():
             fill = np.maximum.accumulate(np.where(have, tgt_blk, 0))
             tgt_blk[~have] = fill[~have]
+            last_real = np.maximum.accumulate(
+                np.where(have, np.arange(chunk_budget), 0))
+            src_blk[~have] = src_blk[last_real[~have]]
     # Edges of spilled pairs go to overflow (in original input order).
     if not keep_pair.all():
         spilled_edge_sorted = np.repeat(~keep_pair, counts)
