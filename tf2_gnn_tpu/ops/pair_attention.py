@@ -44,6 +44,34 @@ from .pair_spmm import BLK, E_C, GROUP
 TILE = 128
 NEG = -1e30
 LEAKY_SLOPE = 0.2
+# MXU f32 dots default to bf16 input truncation; the narrow softmax-statistic
+# dots (score gathers, max gathers, denominators — all [., BLK] @ [BLK, K]
+# with tiny K) run at HIGHEST so logits/expd/denom are bit-exact vs the jnp
+# twins. The wide [., H] message dots keep the default (the shipped pipeline
+# streams bf16 messages anyway).
+EXACT = jax.lax.Precision.HIGHEST
+
+
+def _prec(dtype):
+    """Wide-dot precision policy: f32 streams get HIGHEST (bit-exact vs the
+    jnp twins, 3x MXU passes); bf16 streams (the shipped config) use the
+    default single pass — bf16 inputs are exact on the MXU, so the only
+    rounding is the explicit cast of the scaled-message operand."""
+    return EXACT if jnp.dtype(dtype) == jnp.float32 else None
+
+
+# Lane width of the streamed per-slot expd/slope arrays: the K head columns
+# are tiled up to EXPD_W lanes (column w = head w % K). Mosaic charges
+# narrow-lane VMEM input blocks roughly (physical lane-128 array size) / W
+# of scoped stack — W=4 blew the 16 MiB limit by ~20 MiB on the PPI bench
+# shape, W=16 fits with ~4 MiB to spare (measured 2026-08-17).
+EXPD_W = 16
+
+
+def _expd_width(num_heads: int) -> int:
+    return max(EXPD_W, num_heads)
+
+
 # Resident VMEM budgets (bytes): the packed score table for the max/expd
 # kernels, and the message-table feature tile for the aggregation kernel.
 SCORE_BUDGET_BYTES = 12 * 1024 * 1024
@@ -146,13 +174,17 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
             oh_s = (cols_i == rel_s[:, None]).astype(sc_vmem.dtype)
             oh_tT = (cols_i == rel_t[:, None]).astype(sc_vmem.dtype)
             ss = jnp.dot(oh_s, sc_vmem[pl.ds(sblk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32)[:, :k]
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, :k]
             ts = jnp.dot(oh_tT, sc_vmem[pl.ds(tsb * BLK, BLK), :],
-                         preferred_element_type=jnp.float32)[:, k:2 * k]
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, k:2 * k]
             p = ss + ts
             logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
-            valid = (rel_s < BLK) & (rel_t < BLK)
-            logit = jnp.where(valid[:, None], logit, NEG)
+            # 2D comparisons: a 1D i1 vector cannot get a minor dim inserted
+            # (Mosaic supports that reshape only for 32-bit types).
+            valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
+            logit = jnp.where(valid, logit, NEG)
             oh_t_bool = rows_i == rel_t[None, :]
             cols = []
             for h in range(k):
@@ -239,6 +271,7 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     rows = scores.shape[0]
     k2 = scores.shape[1]
     k = num_heads
+    w = _expd_width(k)
     v = num_nodes
     num_chunks = rel_src.shape[0]
     num_groups = num_chunks // GROUP
@@ -274,19 +307,24 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             oh_u = (cols_i == rel_u[:, None]).astype(sc_vmem.dtype)
             oh_v = (cols_i == rel_v[:, None]).astype(sc_vmem.dtype)
             ss = jnp.dot(oh_u, sc_vmem[pl.ds(u_blk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32)[:, :k]
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, :k]
             ts = jnp.dot(oh_v, sc_vmem[pl.ds(tsb * BLK, BLK), :],
-                         preferred_element_type=jnp.float32)[:, k:2 * k]
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, k:2 * k]
             mx = jnp.dot(oh_v.astype(jnp.float32),
                          mx_vmem[pl.ds(v_blk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=EXACT)
             p = ss + ts
             logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
-            valid = (rel_s < BLK) & (rel_t < BLK)
-            expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+            valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
+            expd = jnp.where(valid, jnp.exp(logit - mx), 0.0)
             slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
-            expd_ref[pl.ds(c * E_C, E_C), :] = expd
-            slope_ref[pl.ds(c * E_C, E_C), :] = slope
+            expd_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
+                expd, w // k, axis=1)
+            slope_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
+                slope, w // k, axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -300,9 +338,9 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((GROUP * E_C, k), lambda g, *s: (g, 0),
+            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, k), lambda g, *s: (g, 0),
+            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -316,8 +354,8 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_chunks * E_C, k), jnp.float32),
-            jax.ShapeDtypeStruct((num_chunks * E_C, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
       jnp.asarray(rel_tgt), scores, maxes)
@@ -325,19 +363,24 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
 
 def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                      num_nodes: int, num_heads: int, swap: bool):
-    del num_heads
+    w = _expd_width(num_heads)
     p, logit, tgt, _, valid = _slot_logits_jnp(
         scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap)
     mx = jnp.take(maxes, tgt, axis=0, mode="clip")
     expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
-    slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
-    return expd, slope
+    # Contract: slope is 1.0 on invalid slots (the device kernel's all-zero
+    # one-hot rows give p = 0 there); consumers multiply by expd = 0 anyway.
+    slope = jnp.where(jnp.logical_and(valid[:, None], p < 0),
+                      LEAKY_SLOPE, 1.0)
+    rep = w // num_heads
+    return jnp.tile(expd, (1, rep)), jnp.tile(slope, (1, rep))
 
 
 def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool = False,
                         interpret=None):
-    """Per-slot (expd, slope) in the slot order of the given plan direction.
+    """Per-slot (expd, slope) in the slot order of the given plan direction,
+    in the EXPD_W-wide streamed layout (column w = head ``w % num_heads``).
     ``maxes`` must already include overflow-edge contributions."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -350,6 +393,78 @@ def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
 # grouped, message-table feature tile resident).
 # ---------------------------------------------------------------------------
 
+def _denom_kernel_device(expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                         num_nodes: int, num_heads: int):
+    """Softmax denominators alone: scatter-sum expd [slots, K] -> [V, K].
+
+    Separate from the weighted kernel on purpose: a denominator output inside
+    the (h_tiles, groups)-grid kernel would revisit its (tb[g], 0) blocks on
+    every feature-tile sweep — NON-consecutive revisits, which Mosaic can only
+    honour by windowing the whole output (and its aliased zeros) in VMEM
+    (observed: 25.6 MiB stack > the 16 MiB scoped limit). Here the grid is
+    (groups,) so revisits are consecutive and everything streams."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = num_heads
+    w = _expd_width(k)
+    v = num_nodes
+    num_chunks = rel_src.shape[0]
+    num_groups = num_chunks // GROUP
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
+               zeros_ref, out_ref):
+        del src_blk_ref, zeros_ref
+        g = pl.program_id(0)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        d_contrib = jnp.zeros((BLK, w), jnp.float32)
+        for c in range(GROUP):
+            rel_t = rel_t_ref[c, :]
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W] f32
+            oh_t = (rows_i == rel_t[None, :]).astype(jnp.float32)
+            d_contrib = d_contrib + jnp.dot(
+                oh_t, e_c, preferred_element_type=jnp.float32,
+                precision=EXACT)
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = d_contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + d_contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),  # zeros -> out alias
+        ],
+        out_specs=pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    zeros = jnp.zeros((v, w), jnp.float32)
+    wide = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, w), jnp.float32),
+        input_output_aliases={5: 0},
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), expd, zeros)
+    # Columns w >= K are duplicate head sums; the first K are the heads.
+    return wide[:, :k]
+
+
 def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                        num_nodes: int, num_heads: int):
     from jax.experimental import pallas as pl
@@ -359,16 +474,16 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
     table = _pad_cols(table, TILE)
     rows, h = table.shape
     k = num_heads
+    w = _expd_width(k)
     v = num_nodes
     num_chunks = rel_src.shape[0]
     num_groups = num_chunks // GROUP
     h_tiles = h // TILE
-    rep = TILE // k
+    rep = TILE // w
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               table_hbm, zeros_d_ref, zeros_w_ref, denom_ref, weighted_ref,
-               table_vmem, copy_sem):
-        del zeros_d_ref, zeros_w_ref
+               table_hbm, zeros_w_ref, weighted_ref, table_vmem, copy_sem):
+        del zeros_w_ref
         t = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -383,32 +498,24 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         w_contrib = jnp.zeros((BLK, TILE), jnp.float32)
-        d_contrib = jnp.zeros((BLK, k), jnp.float32)
         for c in range(GROUP):
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
-            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, K] f32
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W] f32
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
             blk = src_blk_ref[g * GROUP + c]
             msgs = jnp.dot(oh_s, table_vmem[pl.ds(blk * BLK, BLK), :],
-                           preferred_element_type=jnp.float32)
-            scaled = msgs * pltpu.repeat(e_c, rep, axis=1)
-            oh_t = (rows_i == rel_t[None, :]).astype(jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(table_vmem.dtype))
+            scaled = (msgs * pltpu.repeat(e_c, rep, axis=1)
+                      ).astype(table_vmem.dtype)
+            oh_t = (rows_i == rel_t[None, :]).astype(table_vmem.dtype)
             w_contrib = w_contrib + jnp.dot(
-                oh_t, scaled, preferred_element_type=jnp.float32)
-            d_contrib = d_contrib + jnp.dot(
-                oh_t, e_c, preferred_element_type=jnp.float32)
+                oh_t, scaled, preferred_element_type=jnp.float32,
+                precision=_prec(table_vmem.dtype))
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
         first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
-
-        @pl.when(jnp.logical_and(first, t == 0))
-        def _():
-            denom_ref[:, :] = d_contrib
-
-        @pl.when(jnp.logical_and(jnp.logical_not(first), t == 0))
-        def _():
-            denom_ref[:, :] = denom_ref[:, :] + d_contrib
 
         @pl.when(first)
         def _():
@@ -426,35 +533,25 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, k), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((GROUP * E_C, w), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
-            pl.BlockSpec((BLK, k), lambda t, g, s, tb: (tb[g], 0),
-                         memory_space=pltpu.VMEM),   # zeros -> denom alias
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
                          memory_space=pltpu.VMEM),   # zeros -> weighted alias
         ],
-        out_specs=(
-            pl.BlockSpec((BLK, k), lambda t, g, s, tb: (tb[g], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, TILE), table.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    zeros_d = jnp.zeros((v, k), jnp.float32)
     zeros_w = jnp.zeros((v, h), jnp.float32)
-    denom, weighted = pl.pallas_call(
+    weighted = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((v, k), jnp.float32),
-            jax.ShapeDtypeStruct((v, h), jnp.float32),
-        ),
-        input_output_aliases={6: 0, 7: 1},
+        out_shape=jax.ShapeDtypeStruct((v, h), jnp.float32),
+        input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (2 * BLK * E_C * TILE) * h_tiles,
             bytes_accessed=rows * h * table.dtype.itemsize
@@ -462,7 +559,9 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
             transcendentals=0,
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd, table, zeros_d, zeros_w)
+      jnp.asarray(rel_tgt), expd, table, zeros_w)
+    denom = _denom_kernel_device(expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                                 v, k)
     return denom, weighted[:, :orig_h]
 
 
@@ -471,7 +570,7 @@ def _agg_kernel_jnp(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
     srcabs, tgtabs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
     head_dim = table.shape[1] // num_heads
     msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
-    e = expd * valid[:, None]
+    e = expd[:, :num_heads] * valid[:, None]
     seg = jnp.where(valid, tgtabs, num_nodes)
     weighted = jax.ops.segment_sum(
         msgs * jnp.tile(e, (1, head_dim)), seg, num_segments=num_nodes + 1
@@ -485,7 +584,8 @@ def _agg_kernel_jnp(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
 def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                        num_nodes: int, num_heads: int, interpret=None):
     """(denom [V, K], weighted [V, H]) — softmax denominators and
-    exp-weighted hk-major message sums over the forward plan's slots."""
+    exp-weighted hk-major message sums over the forward plan's slots.
+    ``expd`` is in the EXPD_W-wide streamed layout."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _agg_kernel_jnp if interpret else _agg_kernel_device
@@ -509,20 +609,23 @@ def _dscore_kernel_device(table, d_weighted, d_denom, expd, slope,
     d_weighted = _pad_cols(d_weighted, TILE)
     rows, h = table.shape
     k = num_heads
+    w = _expd_width(k)
     v = num_nodes
     v_blocks = v // BLK
     num_chunks = rel_src.shape[0]
-    # hk-major head-sum matrix: column h belongs to head h % K.
-    p_mat = (np.arange(h)[:, None] % k == np.arange(k)[None, :]
+    # W-wide hk-major head-sum matrix: de_w[:, w'] = head-sum of head w' % K
+    # (duplicate column groups match the streamed expd/slope layout).
+    p_mat = (np.arange(h)[:, None] % k == np.arange(w)[None, :] % k
              ).astype(np.float32)
+    d_denom = jnp.tile(d_denom, (1, w // k))  # [V, W]
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
                slope_ref, table_blk_ref, dw_blk_ref, dd_blk_ref, p_ref,
                zeros_ref, out_ref):
         del zeros_ref
         c = pl.program_id(0)
-        rel_s = rel_s_ref[0, :]
-        rel_t = rel_t_ref[0, :]
+        rel_s = rel_s_ref[0, 0, :]
+        rel_t = rel_t_ref[0, 0, :]
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         if swap:
             rel_u, rel_v = rel_t, rel_s
@@ -531,19 +634,24 @@ def _dscore_kernel_device(table, d_weighted, d_denom, expd, slope,
         oh_u = (cols_i == rel_u[:, None])
         oh_v = (cols_i == rel_v[:, None])
         msgs = jnp.dot(oh_u.astype(table_blk_ref.dtype), table_blk_ref[:, :],
-                       preferred_element_type=jnp.float32)   # [E_C, H]
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(table_blk_ref.dtype))  # [E_C, H]
         dwg = jnp.dot(oh_v.astype(dw_blk_ref.dtype), dw_blk_ref[:, :],
-                      preferred_element_type=jnp.float32)    # [E_C, H]
+                      preferred_element_type=jnp.float32,
+                      precision=_prec(dw_blk_ref.dtype))      # [E_C, H]
         ddg = jnp.dot(oh_v.astype(jnp.float32), dd_blk_ref[:, :],
-                      preferred_element_type=jnp.float32)    # [E_C, K]
+                      preferred_element_type=jnp.float32,
+                      precision=EXACT)                       # [E_C, W]
         de = jnp.dot(msgs * dwg, p_ref[:, :],
-                     preferred_element_type=jnp.float32) + ddg
-        d_p = expd_ref[:, :] * slope_ref[:, :] * de          # [E_C, K]
+                     preferred_element_type=jnp.float32,
+                     precision=EXACT) + ddg
+        d_p = expd_ref[:, :] * slope_ref[:, :] * de          # [E_C, W]
         # Scatter to the plan-"tgt" side (fwd: merged (type, target) row
         # block; bwd: merged source-row block).
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         oh_out = (rows_i == rel_t[None, :]).astype(jnp.float32)
-        contrib = jnp.dot(oh_out, d_p, preferred_element_type=jnp.float32)
+        contrib = jnp.dot(oh_out, d_p, preferred_element_type=jnp.float32,
+                          precision=EXACT)
 
         g = c // GROUP
         sblk_prev = src_blk_ref[jnp.maximum(c - 1, 0)]
@@ -588,33 +696,40 @@ def _dscore_kernel_device(table, d_weighted, d_denom, expd, slope,
         num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((1, E_C), lambda c, *s: (c, 0),
+            # [C, 1, E_C] layout: a (1, 1, E_C) block's trailing dims equal
+            # the array's, which the TPU lowering accepts (a (1, E_C) block
+            # of a [C, E_C] array would need sublane height 8).
+            pl.BlockSpec((1, 1, E_C), lambda c, *s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E_C), lambda c, *s: (c, 0),
+            pl.BlockSpec((1, 1, E_C), lambda c, *s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_C, k), lambda c, *s: (c, 0),
+            pl.BlockSpec((E_C, w), lambda c, *s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_C, k), lambda c, *s: (c, 0),
+            pl.BlockSpec((E_C, w), lambda c, *s: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, h), u_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, h), v_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, k), v_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, k), lambda c, *s: (0, 0),
+            pl.BlockSpec((BLK, w), v_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda c, *s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, k), out_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, w), out_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLK, k), out_index,
+        out_specs=pl.BlockSpec((BLK, w), out_index,
                                memory_space=pltpu.VMEM),
     )
-    zeros = jnp.zeros((rows, k), jnp.float32)
-    return pl.pallas_call(
+    zeros = jnp.zeros((rows, w), jnp.float32)
+    wide = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, w), jnp.float32),
         input_output_aliases={10: 0},
-    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd, slope, table, d_weighted, d_denom,
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt),
+      jnp.asarray(rel_src).reshape(num_chunks, 1, E_C),
+      jnp.asarray(rel_tgt).reshape(num_chunks, 1, E_C),
+      expd, slope, table, d_weighted, d_denom,
       jnp.asarray(p_mat), zeros)
+    # Duplicate head-column groups carry identical sums; keep the first K.
+    return wide[:, :k]
 
 
 def _dscore_kernel_jnp(table, d_weighted, d_denom, expd, slope,
@@ -635,7 +750,7 @@ def _dscore_kernel_jnp(table, d_weighted, d_denom, expd, slope,
     dwg = jnp.take(d_weighted, tgt_nodes, axis=0, mode="clip")
     ddg = jnp.take(d_denom, tgt_nodes, axis=0, mode="clip")
     de = (msgs * dwg).reshape(-1, head_dim, k).sum(axis=1) + ddg
-    d_p = expd * slope * de * valid[:, None]
+    d_p = expd[:, :k] * slope[:, :k] * de * valid[:, None]
     seg = jnp.where(valid, out_row, rows)
     return jax.ops.segment_sum(d_p, seg, num_segments=rows + 1)[:rows]
 
@@ -647,7 +762,8 @@ def pair_attention_dscores(table, d_weighted, d_denom, expd, slope,
     """Per-slot logit cotangents scattered into a merged [L*V, K] score
     table: the TARGET halves' gradient on the forward plan (``swap=False``),
     the SOURCE halves' gradient on the backward plan (``swap=True``).
-    ``expd``/``slope`` must be in the matching plan direction's slot order."""
+    ``expd``/``slope`` must be EXPD_W-wide streams in the matching plan
+    direction's slot order; ``d_denom`` is [V, K]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _dscore_kernel_jnp if interpret else _dscore_kernel_device
@@ -668,10 +784,11 @@ def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
     d_weighted = _pad_cols(d_weighted, TILE)
     v, h = d_weighted.shape
     k = num_heads
+    w = _expd_width(k)
     num_chunks = rel_src.shape[0]
     num_groups = num_chunks // GROUP
     h_tiles = h // TILE
-    rep = TILE // k
+    rep = TILE // w
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
                dw_hbm, zeros_ref, out_ref, dw_vmem, copy_sem):
@@ -693,15 +810,18 @@ def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
         for c in range(GROUP):
             rel_v = rel_s_ref[c, :]   # plan-"src" = original target node
             rel_u = rel_t_ref[c, :]   # plan-"tgt" = original source row
-            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, K]
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W]
             vblk = src_blk_ref[g * GROUP + c]
-            oh_v = (cols_i == rel_v[:, None]).astype(jnp.float32)
+            oh_v = (cols_i == rel_v[:, None]).astype(dw_vmem.dtype)
             g_rows = jnp.dot(oh_v, dw_vmem[pl.ds(vblk * BLK, BLK), :],
-                             preferred_element_type=jnp.float32)
-            scaled = g_rows * pltpu.repeat(e_c, rep, axis=1)
-            oh_u = (rows_i == rel_u[None, :]).astype(jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_prec(dw_vmem.dtype))
+            scaled = (g_rows * pltpu.repeat(e_c, rep, axis=1)
+                      ).astype(dw_vmem.dtype)
+            oh_u = (rows_i == rel_u[None, :]).astype(dw_vmem.dtype)
             contrib = contrib + jnp.dot(
-                oh_u, scaled, preferred_element_type=jnp.float32)
+                oh_u, scaled, preferred_element_type=jnp.float32,
+                precision=_prec(dw_vmem.dtype))
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
         first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
@@ -722,7 +842,7 @@ def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, k), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((GROUP * E_C, w), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # d_weighted stays in HBM
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
@@ -731,7 +851,7 @@ def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
         out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((v, TILE), jnp.float32),
+            pltpu.VMEM((v, TILE), d_weighted.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -742,7 +862,7 @@ def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
         out_shape=jax.ShapeDtypeStruct((rows, h), jnp.float32),
         input_output_aliases={6: 0},
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd_b, d_weighted.astype(jnp.float32), zeros)
+      jnp.asarray(rel_tgt), expd_b, d_weighted, zeros)
     return out[:, :orig_h]
 
 
@@ -751,7 +871,8 @@ def _dtable_kernel_jnp(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
     head_dim = d_weighted.shape[1] // num_heads
     v_abs, u_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
     g_rows = jnp.take(d_weighted, v_abs, axis=0, mode="clip")
-    scaled = g_rows * jnp.tile(expd_b * valid[:, None], (1, head_dim))
+    scaled = g_rows * jnp.tile(expd_b[:, :num_heads] * valid[:, None],
+                               (1, head_dim))
     seg = jnp.where(valid, u_abs, rows)
     return jax.ops.segment_sum(scaled, seg, num_segments=rows + 1)[:rows]
 
@@ -876,6 +997,9 @@ def _pa_bwd(num_nodes, num_heads, res, g):
     d_denom, d_weighted = g
     d_denom = d_denom.astype(jnp.float32)
     d_weighted = d_weighted.astype(jnp.float32)
+    # Cotangents stream at the table dtype through the wide kernels (bf16 in
+    # the shipped config — same contract as the forward message stream).
+    dw_stream = d_weighted.astype(table_hk.dtype)
     v = num_nodes
     k = num_heads
     rows = table_hk.shape[0]
@@ -884,7 +1008,7 @@ def _pa_bwd(num_nodes, num_heads, res, g):
     # Target-half score gradients on the forward plan (merged (type, target)
     # row runs are consecutive there).
     d_ts = pair_attention_dscores(
-        table_hk, d_weighted, d_denom, expd_f, slope_f,
+        table_hk, dw_stream, d_denom, expd_f, slope_f,
         rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k, swap=False,
     )
     # expd in BACKWARD slot order is recomputed (a grouped kernel pass) —
@@ -894,11 +1018,11 @@ def _pa_bwd(num_nodes, num_heads, res, g):
         swap=True,
     )
     d_ss = pair_attention_dscores(
-        table_hk, d_weighted, d_denom, expd_b, slope_b,
+        table_hk, dw_stream, d_denom, expd_b, slope_b,
         rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k, swap=True,
     )
     d_table = pair_attention_dtable(
-        d_weighted, expd_b, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+        dw_stream, expd_b, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
         rows, k,
     )
 
