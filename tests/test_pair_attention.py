@@ -266,25 +266,18 @@ def test_pair_attention_kernels_match_twins_on_tpu():
         expds[swap] = (e_ref, s_ref)
     e_f, s_f = expds[False]
     e_b, s_b = expds[True]
-    for fn, args_ in (
-        (pa.pair_attention_agg, (table, e_f, *f, v, k)),
-        (pa.pair_attention_dtable,
-         (jnp.asarray(np.random.RandomState(1).randn(
-             v, table.shape[1]).astype(np.float32)),
-          e_b, *b, rows, k)),
-    ):
-        r = fn(*args_, interpret=True)
-        d = fn(*args_, interpret=False)
-        for x, y in zip(jax.tree.leaves(d), jax.tree.leaves(r)):
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                       rtol=5e-3, atol=5e-3)
+    r = pa.pair_attention_agg(table, e_f, *f, v, k, interpret=True)
+    d = pa.pair_attention_agg(table, e_f, *f, v, k, interpret=False)
+    for x, y in zip(jax.tree.leaves(d), jax.tree.leaves(r)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-3)
     dw = jnp.asarray(np.random.RandomState(2).randn(
         v, table.shape[1]).astype(np.float32))
     dd = jnp.asarray(np.random.RandomState(3).randn(v, k).astype(np.float32))
-    for swap, plan, e, s in ((False, f, e_f, s_f), (True, b, e_b, s_b)):
-        r = pa.pair_attention_dscores(
-            table, dw, dd, e, s, *plan, v, k, swap=swap, interpret=True)
-        d = pa.pair_attention_dscores(
-            table, dw, dd, e, s, *plan, v, k, swap=swap, interpret=False)
-        np.testing.assert_allclose(np.asarray(d), np.asarray(r),
-                                   rtol=5e-3, atol=5e-3)
+    r3 = pa.pair_attention_bwd_fused(table, dw, dd, e_b, s_b, *b, v, k,
+                                     interpret=True)
+    d3 = pa.pair_attention_bwd_fused(table, dw, dd, e_b, s_b, *b, v, k,
+                                     interpret=False)
+    for name, x, y in zip(("d_ss", "d_ts", "d_table"), d3, r3):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)

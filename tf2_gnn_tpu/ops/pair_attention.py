@@ -17,12 +17,12 @@ kernels that never leave the chunk layout and never row-gather on XLA:
   exp-weighted message sums [V, H] with the message table feature tile
   resident in VMEM. Messages use the HK-MAJOR head layout (column
   ``hd*K + k``) so a ``pltpu.repeat`` of the K expd columns aligns.
-* ``_dscore_kernel`` (fwd or bwd, ungrouped): streams full-width table and
-  cotangent blocks per chunk and emits the per-slot logit cotangent
-  scattered to the TARGET score table (fwd plan) or SOURCE score table
-  (bwd plan) — both in the merged [L*V, K] space.
-* ``_dtable_kernel`` (bwd, grouped): d_table[u] += expd * d_weighted[v]
-  with the cotangent feature tile resident.
+* ``_bwd_fused`` (bwd, grouped): ONE pass over the backward plan emits all
+  three gradients — d_src_scores and d_table through per-group output
+  blocks (backward groups share a source-row block), d_tgt_scores through
+  a small transposed VMEM accumulator flushed at the end. The d_denom
+  cotangent rides an augmented cotangent table (ones-columns trick) so it
+  shares the one-hot gather with d_weighted.
 
 Edges that spilled the pair-chunk budget contribute through an XLA overflow
 term INSIDE the custom VJP (they participate in the same softmax).
@@ -60,16 +60,20 @@ def _prec(dtype):
     return EXACT if jnp.dtype(dtype) == jnp.float32 else None
 
 
-# Lane width of the streamed per-slot expd/slope arrays: the K head columns
-# are tiled up to EXPD_W lanes (column w = head w % K). Mosaic charges
-# narrow-lane VMEM input blocks roughly (physical lane-128 array size) / W
-# of scoped stack — W=4 blew the 16 MiB limit by ~20 MiB on the PPI bench
-# shape, W=16 fits with ~4 MiB to spare (measured 2026-08-17).
-EXPD_W = 16
+# Lane width of the streamed per-slot expd/slope arrays (the K head columns
+# tiled up to ACC_W lanes, column w = head w % K) and of the transposed
+# VMEM accumulators (d_ts / denom). Measured trade-off (2026-08-17, PPI
+# bench): pallas operands are COMPACT {1,0} in HBM, so narrow streams are
+# 8x less traffic than TILE-wide ones (wide f32: +51 ms/step, wide bf16:
+# +23 ms/step from pack/unpack relayouts); the ~3 us/step block-load
+# relayout of a 16-lane block is the cheaper price. W=4 is not an option:
+# Mosaic charges narrow-lane INPUT blocks ~(lane-128 array size)/W of
+# scoped VMEM stack, and W=4 blew the 16 MiB limit by ~20 MiB.
+ACC_W = 16
 
 
 def _expd_width(num_heads: int) -> int:
-    return max(EXPD_W, num_heads)
+    return max(ACC_W, num_heads)
 
 
 # Resident VMEM budgets (bytes): the packed score table for the max/expd
@@ -380,7 +384,9 @@ def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool = False,
                         interpret=None):
     """Per-slot (expd, slope) in the slot order of the given plan direction,
-    in the EXPD_W-wide streamed layout (column w = head ``w % num_heads``).
+    TILE-wide f32 (column w = head ``w % num_heads``; a narrow [slots, K]
+    array would be lane-padded to 128 in HBM anyway, and f32 avoids
+    pack/unpack relayouts at the store/load sites).
     ``maxes`` must already include overflow-edge contributions."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -392,78 +398,6 @@ def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
 # Kernel B: softmax denominators + exp-weighted message sums (forward plan,
 # grouped, message-table feature tile resident).
 # ---------------------------------------------------------------------------
-
-def _denom_kernel_device(expd, rel_src, rel_tgt, src_blk, grp_tgt,
-                         num_nodes: int, num_heads: int):
-    """Softmax denominators alone: scatter-sum expd [slots, K] -> [V, K].
-
-    Separate from the weighted kernel on purpose: a denominator output inside
-    the (h_tiles, groups)-grid kernel would revisit its (tb[g], 0) blocks on
-    every feature-tile sweep — NON-consecutive revisits, which Mosaic can only
-    honour by windowing the whole output (and its aliased zeros) in VMEM
-    (observed: 25.6 MiB stack > the 16 MiB scoped limit). Here the grid is
-    (groups,) so revisits are consecutive and everything streams."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    k = num_heads
-    w = _expd_width(k)
-    v = num_nodes
-    num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
-
-    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               zeros_ref, out_ref):
-        del src_blk_ref, zeros_ref
-        g = pl.program_id(0)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
-        d_contrib = jnp.zeros((BLK, w), jnp.float32)
-        for c in range(GROUP):
-            rel_t = rel_t_ref[c, :]
-            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W] f32
-            oh_t = (rows_i == rel_t[None, :]).astype(jnp.float32)
-            d_contrib = d_contrib + jnp.dot(
-                oh_t, e_c, preferred_element_type=jnp.float32,
-                precision=EXACT)
-
-        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
-        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
-
-        @pl.when(first)
-        def _():
-            out_ref[:, :] = d_contrib
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            out_ref[:, :] = out_ref[:, :] + d_contrib
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_groups,),
-        in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
-                         memory_space=pltpu.VMEM),  # zeros -> out alias
-        ],
-        out_specs=pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
-                               memory_space=pltpu.VMEM),
-    )
-    zeros = jnp.zeros((v, w), jnp.float32)
-    wide = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, w), jnp.float32),
-        input_output_aliases={5: 0},
-    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd, zeros)
-    # Columns w >= K are duplicate head sums; the first K are the heads.
-    return wide[:, :k]
-
 
 def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                        num_nodes: int, num_heads: int):
@@ -479,10 +413,10 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
     num_chunks = rel_src.shape[0]
     num_groups = num_chunks // GROUP
     h_tiles = h // TILE
-    rep = TILE // w
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               table_hbm, zeros_w_ref, weighted_ref, table_vmem, copy_sem):
+               table_hbm, zeros_w_ref, weighted_ref, denom_t_ref,
+               table_vmem, den_acc, copy_sem):
         del zeros_w_ref
         t = pl.program_id(0)
         g = pl.program_id(1)
@@ -493,10 +427,16 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                 table_hbm.at[:, pl.ds(t * TILE, TILE)], table_vmem, copy_sem
             )
             dma.start()
+
+            @pl.when(t == 0)
+            def _():
+                den_acc[:, :] = jnp.zeros_like(den_acc)
+
             dma.wait()
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        tb = grp_tgt_ref[g]
         w_contrib = jnp.zeros((BLK, TILE), jnp.float32)
         for c in range(GROUP):
             rel_s = rel_s_ref[c, :]
@@ -507,12 +447,28 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
             msgs = jnp.dot(oh_s, table_vmem[pl.ds(blk * BLK, BLK), :],
                            preferred_element_type=jnp.float32,
                            precision=_prec(table_vmem.dtype))
-            scaled = (msgs * pltpu.repeat(e_c, rep, axis=1)
+            scaled = (msgs * pltpu.repeat(e_c, TILE // w, axis=1)
                       ).astype(table_vmem.dtype)
             oh_t = (rows_i == rel_t[None, :]).astype(table_vmem.dtype)
             w_contrib = w_contrib + jnp.dot(
                 oh_t, scaled, preferred_element_type=jnp.float32,
                 precision=_prec(table_vmem.dtype))
+
+            # Softmax denominators: accumulate transposed ([ACC_W, V] keeps
+            # the resident scratch at ACC_W sublanes) during the first
+            # feature-tile sweep only.
+            @pl.when(t == 0)
+            def _():
+                e_n = e_c[:, :ACC_W]
+                oh_tv = (cols_i == rel_t[:, None]).astype(jnp.float32)
+                # Contract the slot axes directly (transposed-lhs matmul —
+                # no explicit relayout of e_n).
+                d_t = jax.lax.dot_general(
+                    e_n, oh_tv, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT)                    # [ACC_W, BLK]
+                den_acc[:, pl.ds(tb * BLK, BLK)] = (
+                    den_acc[:, pl.ds(tb * BLK, BLK)] + d_t)
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
         first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
@@ -524,6 +480,10 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
         @pl.when(jnp.logical_not(first))
         def _():
             weighted_ref[:, :] = weighted_ref[:, :] + w_contrib
+
+        @pl.when(jnp.logical_and(t == h_tiles - 1, g == num_groups - 1))
+        def _():
+            denom_t_ref[:, :] = den_acc[:, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -539,30 +499,36 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
                          memory_space=pltpu.VMEM),   # zeros -> weighted alias
         ],
-        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ACC_W, v), lambda t, g, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((rows, TILE), table.dtype),
+            pltpu.VMEM((ACC_W, v), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     zeros_w = jnp.zeros((v, h), jnp.float32)
-    weighted = pl.pallas_call(
+    weighted, denom_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, h), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((v, h), jnp.float32),
+            jax.ShapeDtypeStruct((ACC_W, v), jnp.float32),
+        ),
         input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (2 * BLK * E_C * TILE) * h_tiles,
             bytes_accessed=rows * h * table.dtype.itemsize
-            + num_chunks * E_C * (8 + 4 * k) + v * h * 4,
+            + num_chunks * E_C * (8 + w * table.dtype.itemsize) + v * h * 4,
             transcendentals=0,
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
       jnp.asarray(rel_tgt), expd, table, zeros_w)
-    denom = _denom_kernel_device(expd, rel_src, rel_tgt, src_blk, grp_tgt,
-                                 v, k)
-    return denom, weighted[:, :orig_h]
+    return denom_t.T[:, :k], weighted[:, :orig_h]
 
 
 def _agg_kernel_jnp(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
@@ -593,301 +559,251 @@ def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
               num_nodes, num_heads)
 
 # ---------------------------------------------------------------------------
-# Kernel C: per-slot logit cotangent, scattered to a score table.
-# Runs on the FORWARD plan to produce d_tgt_scores [L*V, K] (slots of one
-# (type, target-block) pair stay consecutive, so run-accumulation holds) or
-# on the BACKWARD plan to produce d_src_scores [L*V, K].
+# Kernel C (fused backward): one grouped pass over the BACKWARD plan emits
+# all three gradients. Backward-plan groups share a SOURCE-row block, so
+# d_src_scores and d_table stream through consecutively-revisited output
+# blocks; d_tgt_scores accumulates into a small VMEM-resident transposed
+# scratch ([W, L*V] f32, ~1.5 MiB at the PPI bench shape) flushed on the
+# last grid step. This replaces three kernels (per-chunk d-score fwd,
+# per-chunk d-score bwd, grouped d-table) whose ~7500 combined grid steps
+# were pure per-step overhead (~4 us each, measured 2026-08-17).
+#
+# The d_denom cotangent rides an AUGMENTED cotangent table: the caller
+# appends W columns of tiled d_denom to d_weighted and W columns of ones to
+# the message table, so ddg arrives through the same one-hot gather as dwg
+# and the head-sum matrix maps it straight into de.
 # ---------------------------------------------------------------------------
 
-def _dscore_kernel_device(table, d_weighted, d_denom, expd, slope,
-                          rel_src, rel_tgt, src_blk, grp_tgt,
-                          num_nodes: int, num_heads: int, swap: bool):
+def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
+                      rel_src, rel_tgt, src_blk, grp_tgt,
+                      num_nodes: int, num_heads: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    table = _pad_cols(table, TILE)
-    d_weighted = _pad_cols(d_weighted, TILE)
-    rows, h = table.shape
+    orig_h = table.shape[-1]
     k = num_heads
     w = _expd_width(k)
+    aw = ACC_W
     v = num_nodes
     v_blocks = v // BLK
     num_chunks = rel_src.shape[0]
-    # W-wide hk-major head-sum matrix: de_w[:, w'] = head-sum of head w' % K
-    # (duplicate column groups match the streamed expd/slope layout).
-    p_mat = (np.arange(h)[:, None] % k == np.arange(w)[None, :] % k
-             ).astype(np.float32)
-    d_denom = jnp.tile(d_denom, (1, w // k))  # [V, W]
-
-    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               slope_ref, table_blk_ref, dw_blk_ref, dd_blk_ref, p_ref,
-               zeros_ref, out_ref):
-        del zeros_ref
-        c = pl.program_id(0)
-        rel_s = rel_s_ref[0, 0, :]
-        rel_t = rel_t_ref[0, 0, :]
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
-        if swap:
-            rel_u, rel_v = rel_t, rel_s
-        else:
-            rel_u, rel_v = rel_s, rel_t
-        oh_u = (cols_i == rel_u[:, None])
-        oh_v = (cols_i == rel_v[:, None])
-        msgs = jnp.dot(oh_u.astype(table_blk_ref.dtype), table_blk_ref[:, :],
-                       preferred_element_type=jnp.float32,
-                       precision=_prec(table_blk_ref.dtype))  # [E_C, H]
-        dwg = jnp.dot(oh_v.astype(dw_blk_ref.dtype), dw_blk_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                      precision=_prec(dw_blk_ref.dtype))      # [E_C, H]
-        ddg = jnp.dot(oh_v.astype(jnp.float32), dd_blk_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                      precision=EXACT)                       # [E_C, W]
-        de = jnp.dot(msgs * dwg, p_ref[:, :],
-                     preferred_element_type=jnp.float32,
-                     precision=EXACT) + ddg
-        d_p = expd_ref[:, :] * slope_ref[:, :] * de          # [E_C, W]
-        # Scatter to the plan-"tgt" side (fwd: merged (type, target) row
-        # block; bwd: merged source-row block).
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
-        oh_out = (rows_i == rel_t[None, :]).astype(jnp.float32)
-        contrib = jnp.dot(oh_out, d_p, preferred_element_type=jnp.float32,
-                          precision=EXACT)
-
-        g = c // GROUP
-        sblk_prev = src_blk_ref[jnp.maximum(c - 1, 0)]
-        if swap:
-            # bwd plan: out block IS grp_tgt (merged source rows).
-            prev_out = grp_tgt_ref[jnp.maximum(c - 1, 0) // GROUP]
-            cur_out = grp_tgt_ref[g]
-        else:
-            # fwd plan: out block = type(src_blk) * v_blocks + grp_tgt.
-            prev_out = ((sblk_prev * BLK // v) * v_blocks
-                        + grp_tgt_ref[jnp.maximum(c - 1, 0) // GROUP])
-            cur_out = ((src_blk_ref[c] * BLK // v) * v_blocks
-                       + grp_tgt_ref[g])
-        first = jnp.logical_or(c == 0, cur_out != prev_out)
-
-        @pl.when(first)
-        def _():
-            out_ref[:, :] = contrib
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            out_ref[:, :] = out_ref[:, :] + contrib
-
-    def out_index(c, sblk, gtgt):
-        if swap:
-            return (gtgt[c // GROUP], 0)
-        return ((sblk[c] * BLK // v) * v_blocks + gtgt[c // GROUP], 0)
-
-    def u_index(c, sblk, gtgt):
-        # Block holding the gathered-message rows (original source rows).
-        if swap:
-            return (gtgt[c // GROUP], 0)
-        return (sblk[c], 0)
-
-    def v_index(c, sblk, gtgt):
-        # Block holding the cotangent rows (original target nodes).
-        if swap:
-            return (sblk[c], 0)
-        return (gtgt[c // GROUP], 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_chunks,),
-        in_specs=[
-            # [C, 1, E_C] layout: a (1, 1, E_C) block's trailing dims equal
-            # the array's, which the TPU lowering accepts (a (1, E_C) block
-            # of a [C, E_C] array would need sublane height 8).
-            pl.BlockSpec((1, 1, E_C), lambda c, *s: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E_C), lambda c, *s: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_C, w), lambda c, *s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_C, w), lambda c, *s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, h), u_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, h), v_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, w), v_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w), lambda c, *s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, w), out_index, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BLK, w), out_index,
-                               memory_space=pltpu.VMEM),
-    )
-    zeros = jnp.zeros((rows, w), jnp.float32)
-    wide = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, w), jnp.float32),
-        input_output_aliases={10: 0},
-    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt),
-      jnp.asarray(rel_src).reshape(num_chunks, 1, E_C),
-      jnp.asarray(rel_tgt).reshape(num_chunks, 1, E_C),
-      expd, slope, table, d_weighted, d_denom,
-      jnp.asarray(p_mat), zeros)
-    # Duplicate head-column groups carry identical sums; keep the first K.
-    return wide[:, :k]
-
-
-def _dscore_kernel_jnp(table, d_weighted, d_denom, expd, slope,
-                       rel_src, rel_tgt, src_blk, grp_tgt,
-                       num_nodes: int, num_heads: int, swap: bool):
-    rows = table.shape[0]
-    v = num_nodes
-    k = num_heads
-    head_dim = table.shape[1] // k
-    a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
-    if swap:
-        src_rows, tgt_nodes = b_abs, a_abs
-        out_row = src_rows
-    else:
-        src_rows, tgt_nodes = a_abs, b_abs
-        out_row = (src_rows // v) * v + tgt_nodes
-    msgs = jnp.take(table, src_rows, axis=0, mode="clip").astype(jnp.float32)
-    dwg = jnp.take(d_weighted, tgt_nodes, axis=0, mode="clip")
-    ddg = jnp.take(d_denom, tgt_nodes, axis=0, mode="clip")
-    de = (msgs * dwg).reshape(-1, head_dim, k).sum(axis=1) + ddg
-    d_p = expd[:, :k] * slope[:, :k] * de * valid[:, None]
-    seg = jnp.where(valid, out_row, rows)
-    return jax.ops.segment_sum(d_p, seg, num_segments=rows + 1)[:rows]
-
-
-def pair_attention_dscores(table, d_weighted, d_denom, expd, slope,
-                           rel_src, rel_tgt, src_blk, grp_tgt,
-                           num_nodes: int, num_heads: int, swap: bool,
-                           interpret=None):
-    """Per-slot logit cotangents scattered into a merged [L*V, K] score
-    table: the TARGET halves' gradient on the forward plan (``swap=False``),
-    the SOURCE halves' gradient on the backward plan (``swap=True``).
-    ``expd``/``slope`` must be EXPD_W-wide streams in the matching plan
-    direction's slot order; ``d_denom`` is [V, K]."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    fn = _dscore_kernel_jnp if interpret else _dscore_kernel_device
-    return fn(table, d_weighted, d_denom, expd, slope, rel_src, rel_tgt,
-              src_blk, grp_tgt, num_nodes, num_heads, swap)
-
-# ---------------------------------------------------------------------------
-# Kernel D: message-table gradient (backward plan, grouped, cotangent
-# feature tile resident).
-# ---------------------------------------------------------------------------
-
-def _dtable_kernel_device(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
-                          grp_tgt, rows: int, num_heads: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    orig_h = d_weighted.shape[-1]
-    d_weighted = _pad_cols(d_weighted, TILE)
-    v, h = d_weighted.shape
-    k = num_heads
-    w = _expd_width(k)
-    num_chunks = rel_src.shape[0]
     num_groups = num_chunks // GROUP
-    h_tiles = h // TILE
-    rep = TILE // w
+
+    # Augment: table gains ACC_W ones-columns at ``h``, d_weighted gains the
+    # ACC_W-tiled d_denom columns there. The aug columns reuse the lane-tile
+    # padding when it is wide enough (hidden 320 pads to 384, leaving 64
+    # spare lanes >= ACC_W) — otherwise one more tile is appended.
+    stream_dtype = table.dtype
+    h = table.shape[1]
+    haug = max(((h + aw + TILE - 1) // TILE) * TILE, TILE)
+    table_aug = jnp.concatenate(
+        [table,
+         jnp.ones((table.shape[0], aw), stream_dtype),
+         jnp.zeros((table.shape[0], haug - h - aw), stream_dtype)], axis=1)
+    dw_aug = jnp.concatenate(
+        [d_weighted.astype(stream_dtype)[:, :h],
+         jnp.tile(d_denom, (1, aw // k)).astype(stream_dtype),
+         jnp.zeros((v, haug - h - aw), stream_dtype)], axis=1)
+    # Head-sum matrix over the augmented width (de is stream-wide): message
+    # column hd*K + j belongs to head j, so pm maps it into every output
+    # column of head j; augmented column h + j feeds ddg into exactly the
+    # output columns with col % ACC_W == j (one j per column, no double
+    # counting since K divides ACC_W).
+    cols = np.arange(haug)
+    pm = (cols[:, None] % k == np.arange(w)[None, :] % k).astype(np.float32)
+    pm[h:, :] = 0.0
+    pm[h:h + aw, :] = (np.arange(aw)[:, None]
+                       == np.arange(w)[None, :] % aw)
+    assert w == aw
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               dw_hbm, zeros_ref, out_ref, dw_vmem, copy_sem):
-        del zeros_ref
-        t = pl.program_id(0)
-        g = pl.program_id(1)
+               slope_ref, table_blk_ref, dw_hbm, p_ref, zeros_ss_ref,
+               zeros_tab_ref, dss_ref, dtab_ref, dts_ref,
+               dw_vmem, dts_acc, copy_sem):
+        del zeros_ss_ref, zeros_tab_ref
+        g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            dma = pltpu.make_async_copy(
-                dw_hbm.at[:, pl.ds(t * TILE, TILE)], dw_vmem, copy_sem
-            )
+            dma = pltpu.make_async_copy(dw_hbm, dw_vmem, copy_sem)
             dma.start()
+            dts_acc[:, :] = jnp.zeros_like(dts_acc)
             dma.wait()
 
+        u_blk = grp_tgt_ref[g]                 # merged source-row block
+        ltype = u_blk * BLK // v               # edge type (group-constant)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
-        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        ss_contrib = jnp.zeros((BLK, w), jnp.float32)
+        tab_contrib = jnp.zeros((BLK, haug), jnp.float32)
+        rep_tab = haug // w
         for c in range(GROUP):
             rel_v = rel_s_ref[c, :]   # plan-"src" = original target node
             rel_u = rel_t_ref[c, :]   # plan-"tgt" = original source row
-            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W]
-            vblk = src_blk_ref[g * GROUP + c]
-            oh_v = (cols_i == rel_v[:, None]).astype(dw_vmem.dtype)
-            g_rows = jnp.dot(oh_v, dw_vmem[pl.ds(vblk * BLK, BLK), :],
-                             preferred_element_type=jnp.float32,
-                             precision=_prec(dw_vmem.dtype))
-            scaled = (g_rows * pltpu.repeat(e_c, rep, axis=1)
-                      ).astype(dw_vmem.dtype)
-            oh_u = (rows_i == rel_u[None, :]).astype(dw_vmem.dtype)
-            contrib = contrib + jnp.dot(
-                oh_u, scaled, preferred_element_type=jnp.float32,
-                precision=_prec(dw_vmem.dtype))
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]    # [E_C, W]
+            s_c = slope_ref[pl.ds(c * E_C, E_C), :]
+            v_blk = src_blk_ref[g * GROUP + c]
+            oh_v = (cols_i == rel_v[:, None]).astype(stream_dtype)
+            oh_u = (cols_i == rel_u[:, None]).astype(stream_dtype)
+            dwg = jnp.dot(oh_v, dw_vmem[pl.ds(v_blk * BLK, BLK), :],
+                          preferred_element_type=jnp.float32,
+                          precision=_prec(stream_dtype))   # [E_C, Haug]
+            msgs = jnp.dot(oh_u, table_blk_ref[:, :],
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(stream_dtype))  # [E_C, Haug]
+            # The head-sum contraction follows the stream precision contract
+            # (its inputs are already products of stream-rounded values).
+            de = jnp.dot((msgs * dwg).astype(stream_dtype), p_ref[:, :],
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(stream_dtype))    # [E_C, W]
+            d_p = e_c * s_c * de
+            oh_su = (rows_i == rel_u[None, :])
+            ss_contrib = ss_contrib + jnp.dot(
+                oh_su.astype(jnp.float32), d_p,
+                preferred_element_type=jnp.float32, precision=EXACT)
+            scaled = (dwg * pltpu.repeat(e_c, rep_tab, axis=1)
+                      ).astype(stream_dtype)  # rep pattern: col %% W = head
+            tab_contrib = tab_contrib + jnp.dot(
+                oh_su.astype(stream_dtype), scaled,
+                preferred_element_type=jnp.float32,
+                precision=_prec(stream_dtype))
+            # d_tgt_scores: accumulate transposed into the resident scratch
+            # ([W, L*V] keeps the physical footprint at W sublanes).
+            # oh_sv[s, col] = (col == target-rel of slot s): contracting the
+            # slot axes scatters slot cotangents onto target columns
+            # (transposed-lhs matmul, no relayout of d_p).
+            oh_sv = (cols_i == rel_v[:, None]).astype(jnp.float32)
+            contrib_t = jax.lax.dot_general(
+                d_p, oh_sv, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=EXACT)                           # [ACC_W, BLK]
+            out_blk = ltype * v_blocks + v_blk
+            dts_acc[:, pl.ds(out_blk * BLK, BLK)] = (
+                dts_acc[:, pl.ds(out_blk * BLK, BLK)] + contrib_t)
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
         first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
 
         @pl.when(first)
         def _():
-            out_ref[:, :] = contrib
+            dss_ref[:, :] = ss_contrib
+            dtab_ref[:, :] = tab_contrib
 
         @pl.when(jnp.logical_not(first))
         def _():
-            out_ref[:, :] = out_ref[:, :] + contrib
+            dss_ref[:, :] = dss_ref[:, :] + ss_contrib
+            dtab_ref[:, :] = dtab_ref[:, :] + tab_contrib
 
+        @pl.when(g == num_groups - 1)
+        def _():
+            dts_ref[:, :] = dts_acc[:, :]
+
+    rows = table.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(h_tiles, num_groups),
+        grid=(num_groups,),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # d_weighted stays in HBM
-            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
-                         memory_space=pltpu.VMEM),  # zeros -> out alias
+            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, haug), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),  # group's source rows
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dw_aug stays in HBM
+            pl.BlockSpec((haug, w), lambda g, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),  # zeros -> d_ss alias
+            pl.BlockSpec((BLK, haug), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),  # zeros -> d_table alias
         ],
-        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((BLK, w), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, haug), lambda g, s, tb: (tb[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ACC_W, rows), lambda g, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((v, TILE), d_weighted.dtype),
+            pltpu.VMEM((v, haug), stream_dtype),
+            pltpu.VMEM((ACC_W, rows), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    zeros = jnp.zeros((rows, h), jnp.float32)
-    out = pl.pallas_call(
+    zeros_ss = jnp.zeros((rows, w), jnp.float32)
+    zeros_tab = jnp.zeros((rows, haug), jnp.float32)
+    d_ss_w, d_tab, d_ts_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, h), jnp.float32),
-        input_output_aliases={6: 0},
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, w), jnp.float32),
+            jax.ShapeDtypeStruct((rows, haug), jnp.float32),
+            jax.ShapeDtypeStruct((ACC_W, rows), jnp.float32),
+        ),
+        input_output_aliases={9: 0, 10: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (3 * BLK * E_C * haug),
+            bytes_accessed=(num_chunks // GROUP) * BLK * haug * 2
+            + v * haug * 2 + num_chunks * E_C * (8 + 8 * w)
+            + rows * (haug + 2 * w) * 4,
+            transcendentals=0,
+        ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd_b, d_weighted, zeros)
-    return out[:, :orig_h]
+      jnp.asarray(rel_tgt), expd_b, slope_b, table_aug, dw_aug,
+      jnp.asarray(pm, dtype=stream_dtype), zeros_ss, zeros_tab)
+    return d_ss_w[:, :k], d_ts_t.T[:, :k], d_tab[:, :orig_h]
 
 
-def _dtable_kernel_jnp(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
-                       grp_tgt, rows: int, num_heads: int):
-    head_dim = d_weighted.shape[1] // num_heads
-    v_abs, u_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
-    g_rows = jnp.take(d_weighted, v_abs, axis=0, mode="clip")
-    scaled = g_rows * jnp.tile(expd_b[:, :num_heads] * valid[:, None],
-                               (1, head_dim))
-    seg = jnp.where(valid, u_abs, rows)
-    return jax.ops.segment_sum(scaled, seg, num_segments=rows + 1)[:rows]
+def _bwd_fused_jnp(table, d_weighted, d_denom, expd_b, slope_b,
+                   rel_src, rel_tgt, src_blk, grp_tgt,
+                   num_nodes: int, num_heads: int):
+    rows = table.shape[0]
+    v = num_nodes
+    k = num_heads
+    head_dim = table.shape[1] // k
+    a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
+    src_rows, tgt_nodes = b_abs, a_abs
+    msgs = jnp.take(table, src_rows, axis=0, mode="clip").astype(jnp.float32)
+    dwg = jnp.take(d_weighted, tgt_nodes, axis=0,
+                   mode="clip").astype(jnp.float32)
+    ddg = jnp.take(d_denom, tgt_nodes, axis=0, mode="clip")
+    de = (msgs * dwg).reshape(-1, head_dim, k).sum(axis=1) + ddg
+    e_n = expd_b[:, :k]
+    d_p = e_n * slope_b[:, :k] * de * valid[:, None]
+    seg_src = jnp.where(valid, src_rows, rows)
+    d_ss = jax.ops.segment_sum(d_p, seg_src, num_segments=rows + 1)[:rows]
+    seg_ts = jnp.where(valid, (src_rows // v) * v + tgt_nodes, rows)
+    d_ts = jax.ops.segment_sum(d_p, seg_ts, num_segments=rows + 1)[:rows]
+    scaled = dwg * jnp.tile(e_n * valid[:, None], (1, head_dim))
+    d_table = jax.ops.segment_sum(scaled, seg_src,
+                                  num_segments=rows + 1)[:rows]
+    return d_ss, d_ts, d_table
 
 
-def pair_attention_dtable(d_weighted, expd_b, rel_src, rel_tgt, src_blk,
-                          grp_tgt, rows: int, num_heads: int,
-                          interpret=None):
-    """Message-table gradient over the BACKWARD plan:
-    ``d_table[u, hd*K+k] = sum over edges (u -> v) of expd * d_weighted[v]``.
-    ``expd_b`` must be in backward slot order."""
+def pair_attention_bwd_fused(table, d_weighted, d_denom, expd_b, slope_b,
+                             rel_src, rel_tgt, src_blk, grp_tgt,
+                             num_nodes: int, num_heads: int,
+                             interpret=None):
+    """All three backward-plan gradients in one pass:
+
+        d_src_scores[u, j] = sum over edges (u -> t) of d_p
+        d_tgt_scores[l*V + t, j] = sum over type-l edges into t of d_p
+        d_table[u, hd*K + j] = sum over edges (u -> t) of expd * dw[t]
+
+    with ``d_p = expd * slope * (head-sum(table[u] * dw[t]) + d_denom[t])``.
+    ``expd_b``/``slope_b`` must be EXPD_W-wide streams in BACKWARD slot
+    order; ``d_denom`` is [V, K]; ``d_weighted`` should be pre-cast to the
+    stream dtype."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    fn = _dtable_kernel_jnp if interpret else _dtable_kernel_device
-    return fn(d_weighted, expd_b, rel_src, rel_tgt, src_blk, grp_tgt,
-              rows, num_heads)
+    fn = _bwd_fused_jnp if interpret else _bwd_fused_device
+    return fn(table, d_weighted, d_denom, expd_b, slope_b,
+              rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads)
 
 # ---------------------------------------------------------------------------
 # The full fused attention primitive.
@@ -984,15 +900,14 @@ def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
         ovf_src, ovf_tgt, num_nodes, num_heads,
     )
     m_safe, expd_f, slope_f, expd_o, slope_o = saved
-    res = (table_hk, scores, m_safe, expd_f, slope_f, expd_o, slope_o,
-           rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+    del expd_f, slope_f  # only consumed inside the forward pass
+    res = (table_hk, scores, m_safe, expd_o, slope_o,
            rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt)
     return (denom, weighted), res
 
 
 def _pa_bwd(num_nodes, num_heads, res, g):
-    (table_hk, scores, m_safe, expd_f, slope_f, expd_o, slope_o,
-     rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+    (table_hk, scores, m_safe, expd_o, slope_o,
      rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt) = res
     d_denom, d_weighted = g
     d_denom = d_denom.astype(jnp.float32)
@@ -1005,25 +920,16 @@ def _pa_bwd(num_nodes, num_heads, res, g):
     rows = table_hk.shape[0]
     head_dim = table_hk.shape[1] // k
 
-    # Target-half score gradients on the forward plan (merged (type, target)
-    # row runs are consecutive there).
-    d_ts = pair_attention_dscores(
-        table_hk, dw_stream, d_denom, expd_f, slope_f,
-        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k, swap=False,
-    )
     # expd in BACKWARD slot order is recomputed (a grouped kernel pass) —
     # cheaper than row-gathering [slots, K] rows through a slot permutation.
     expd_b, slope_b = pair_attention_expd(
         scores, m_safe, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
         swap=True,
     )
-    d_ss = pair_attention_dscores(
+    # All three gradients from ONE grouped pass over the backward plan.
+    d_ss, d_ts, d_table = pair_attention_bwd_fused(
         table_hk, dw_stream, d_denom, expd_b, slope_b,
-        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k, swap=True,
-    )
-    d_table = pair_attention_dtable(
-        dw_stream, expd_b, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
-        rows, k,
+        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
     )
 
     # Overflow-edge contributions (tiny XLA gathers/scatters).
