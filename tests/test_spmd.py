@@ -327,3 +327,62 @@ def test_spmd_fused_train_step_matches_single_device():
                       jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-3,
                                    atol=5e-4)
+
+
+@pytest.mark.parametrize("flavour", ["rgcn", "rgat"])
+def test_spmd_legacy_allgather_matches_single_device(flavour):
+    """halo=False keeps the round-1 global-source + per-layer all_gather
+    path working (comparison baseline for the halo exchange)."""
+    nf, adj, n2g, g = _giant_graph(seed=17)
+    params = _model_params(NodeMulticlassTask, flavour)
+    model = NodeMulticlassTask.from_params(params)
+
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4, halo=False)
+    assert sharded.halo_send_idx is None
+    (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
+                                                    sharded)
+    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    np.testing.assert_allclose(
+        np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_halo_plan_structure_and_bytes():
+    """The halo plan references exactly the boundary rows each shard's edges
+    need, and the per-layer exchange volume is bounded by the boundary size
+    (not S * V like the legacy all_gather)."""
+    # A graph with locality (edges stay within +-4 rows): the boundary is a
+    # small fraction of V, which is where halo beats all_gather. (A fully
+    # random graph has boundary ~ V and the two tie.)
+    rng = np.random.RandomState(23)
+    num_nodes = 256
+    nf = rng.randn(num_nodes, 12).astype(np.float32)
+    tgt = rng.randint(0, num_nodes, 600)
+    src = np.clip(tgt + rng.randint(-4, 5, 600), 0, num_nodes - 1)
+    adj = [np.stack([src[:300], tgt[:300]], axis=1).astype(np.int32),
+           np.stack([src[300:], tgt[300:]], axis=1).astype(np.int32)]
+    n2g = np.sort(rng.randint(0, 3, num_nodes)).astype(np.int32)
+    g = 3
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4)
+    assert sharded.halo_send_idx is not None
+    s_mesh, s_dest, max_send = sharded.halo_send_idx.shape
+    assert s_mesh == s_dest == NUM_SHARDS
+    vp = sharded.node_features.shape[1]
+    # Ext sources stay inside the ext row space.
+    for t in range(sharded.num_edge_types):
+        assert sharded.edge_sources[t].max() < sharded.halo_ext_nodes
+    # Send lists index local rows only.
+    assert sharded.halo_send_idx.max() < vp
+    # Exchange bytes (per shard per layer) vs the legacy all_gather.
+    d = nf.shape[1]
+    halo_bytes = NUM_SHARDS * max_send * d * 4
+    allgather_bytes = NUM_SHARDS * vp * d * 4
+    assert halo_bytes < allgather_bytes

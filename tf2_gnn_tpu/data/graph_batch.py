@@ -95,6 +95,17 @@ class GraphBatch:
     # sum (used by flavours whose target-side math factorises into node
     # space: GNN-FiLM, target-state edge MLPs).
     pair_targets_merged: bool = struct.field(pytree_node=False, default=False)
+    # Boundary-halo SPMD mode (parallel/spmd.py::partition_graph(halo=True)):
+    # ``halo_send_idx`` [S, max_send] holds, per DESTINATION shard, the local
+    # row indices this shard sends each MP layer (padded with the local pad
+    # row); ``edge_sources`` are then EXT-LOCAL ids into
+    # ``[local rows | shard-0 halo | shard-1 halo | ...]`` of
+    # ``halo_ext_nodes`` rows, and no per-layer all_gather happens at all —
+    # each layer exchanges only boundary rows via one all_to_all
+    # (MessagePassing._exchange_halo).
+    halo_send_idx: Optional[jnp.ndarray] = None
+    halo_ext_nodes: Optional[int] = struct.field(pytree_node=False,
+                                                 default=None)
 
     # ---- static shape accessors -------------------------------------------------
     @property
@@ -126,13 +137,15 @@ class GraphBatch:
         """Gather per-edge source rows from a node-space table.
 
         ``table`` is [V_local, ...] (or [L, V_local, ...] — pass table[l]).
-        In SPMD mode the table is first all_gather-ed over the mesh axis so
-        global source ids resolve; single-device mode is a plain local gather.
+        In halo mode the table already covers the ext row space (the layer
+        computed it from the halo-exchanged states) and source ids are
+        ext-local, so the gather is plain; in legacy SPMD mode the table is
+        first all_gather-ed over the mesh axis so GLOBAL source ids resolve.
         """
         from ..ops.segment import gather_rows
 
         indices = self.edge_sources[edge_type]
-        if self.spmd_axis is not None:
+        if self.spmd_axis is not None and self.halo_send_idx is None:
             table = jax.lax.all_gather(table, self.spmd_axis, axis=0, tiled=True)
         return gather_rows(table, indices)
 

@@ -184,12 +184,14 @@ class MessagePassing(nn.Module):
     @staticmethod
     def _globalize_tables(tables_flat: jnp.ndarray, batch: GraphBatch,
                           num_types: int) -> jnp.ndarray:
-        """SPMD halo exchange for the fused path: all_gather the per-type
-        node tables over the mesh axis so the plans' GLOBAL merged source ids
-        resolve ([L*Vp, ...] local -> [L*Vp*S, ...] global). The transpose
-        (reduce-scatter of the kernel-produced global gradient) rides ICI
-        automatically. Identity off-SPMD."""
-        if batch.spmd_axis is None:
+        """Legacy SPMD source-table resolution for the fused path:
+        all_gather the per-type node tables over the mesh axis so GLOBAL
+        merged source ids resolve ([L*Vp, ...] local -> [L*Vp*S, ...]
+        global). In halo mode the tables already span the ext row space (the
+        layer ran its node-space transforms on halo-exchanged states) and
+        the plans were built with ext-local sources — identity. Identity
+        off-SPMD too."""
+        if batch.spmd_axis is None or batch.halo_send_idx is not None:
             return tables_flat
         import jax as _jax
 
@@ -200,15 +202,46 @@ class MessagePassing(nn.Module):
         )  # [L, Vp*S, ...]
         return gathered.reshape(num_types * v * batch.spmd_num_shards, -1)
 
+    @staticmethod
+    def _exchange_halo(node_states: jnp.ndarray,
+                       batch: GraphBatch) -> jnp.ndarray:
+        """Boundary-only halo exchange (SURVEY §2.4 item 2): ONE all_to_all
+        of the host-planned boundary rows replaces the per-layer
+        all_gather — bytes scale with the boundary size, not V. Returns the
+        ext state table ``[local | shard-0 halo | ... | pad]`` that
+        ext-local source ids index. The transpose (boundary-row gradients
+        routed back to their owners and scatter-added) is the automatic AD
+        of gather + all_to_all + concat."""
+        import jax as _jax
+
+        idx = batch.halo_send_idx          # [S, max_send] per shard
+        num_shards, max_send = idx.shape
+        send = jnp.take(node_states, idx.reshape(-1), axis=0,
+                        mode="clip").reshape(num_shards, max_send, -1)
+        recv = _jax.lax.all_to_all(send, batch.spmd_axis, 0, 0, tiled=False)
+        halo = recv.reshape(num_shards * max_send, -1)
+        pad = batch.halo_ext_nodes - batch.num_nodes_padded - halo.shape[0]
+        parts = [node_states, halo.astype(node_states.dtype)]
+        if pad:
+            parts.append(jnp.zeros((pad, node_states.shape[-1]),
+                                   node_states.dtype))
+        return jnp.concatenate(parts, axis=0)
+
     # ------------------------------------------------------------------ entry
     @nn.compact
     def __call__(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool = False
     ) -> jnp.ndarray:
-        fused = self._fused_sum_aggregate(node_states, batch, training)
+        if batch.spmd_axis is not None and batch.halo_send_idx is not None:
+            # Source-side transforms run over [local | halo] rows; the
+            # aggregation/update side stays local-only.
+            src_states = self._exchange_halo(node_states, batch)
+        else:
+            src_states = node_states
+        fused = self._fused_sum_aggregate(src_states, batch, training)
         if fused is not None:
             return self._post_aggregate(fused, node_states, batch, training)
-        messages_per_type = self._compute_messages_per_type(node_states, batch, training)
+        messages_per_type = self._compute_messages_per_type(src_states, batch, training)
         return self._compute_new_node_embeddings(
             node_states, messages_per_type, batch, training
         )

@@ -268,7 +268,9 @@ class GNN_Edge_MLP(MessagePassing):
             )(hidden)
             if i < num_hidden:
                 hidden = jax.nn.relu(hidden)
-        tables = hidden.reshape(num_types * batch.num_nodes_padded, -1)
+        # -1 row count: in halo-SPMD mode the states (and thus tables) span
+        # the ext row space [local | halo], not just num_nodes_padded.
+        tables = hidden.reshape(num_types * hidden.shape[1], -1)
         if self.edge_dtype != "float32":
             tables = tables.astype(self.edge_dtype)
         return tables
@@ -344,14 +346,15 @@ class GNN_Edge_MLP(MessagePassing):
                                name="edge_mlp_src_0")(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_tgt_0")(node_states)
-        src_flat = src_half.reshape(num_types * v, -1)
+        src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
 
         src_flat = self._globalize_tables(src_flat, batch, num_types)
         # Target half in TYPE-MINOR layout: the gradient scatter reuses the
-        # forward plan (see plan_gather_tgt_typed).
-        tgt_tl = tgt_half.transpose(1, 0, 2).reshape(v * num_types, -1)
+        # forward plan (see plan_gather_tgt_typed). Target rows are always
+        # local — drop any halo rows of the ext state table.
+        tgt_tl = tgt_half[:, :v].transpose(1, 0, 2).reshape(v * num_types, -1)
         if self.edge_dtype != "float32":
             tgt_tl = tgt_tl.astype(self.edge_dtype)
         msgs = plan_gather_src(

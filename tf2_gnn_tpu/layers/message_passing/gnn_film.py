@@ -101,7 +101,8 @@ class GNN_FiLM(GNN_Edge_MLP):
         # FiLM parameter MLP in node space -> [L, V, 2H] -> [LV, 2H].
         # Type-minor layout so the gradient scatter reuses the forward plan.
         film = self._film_parameter_tables(node_states, batch)
-        film_tl = film.transpose(1, 0, 2).reshape(v * num_types, -1)
+        # Target-side table: always local rows (drop halo rows in SPMD).
+        film_tl = film[:, :v].transpose(1, 0, 2).reshape(v * num_types, -1)
         if self.edge_dtype != "float32":
             film_tl = film_tl.astype(self.edge_dtype)
 

@@ -155,18 +155,19 @@ class RGAT(MessagePassing):
         plan = PlanView(batch.scatter_plans)
         num_types = batch.num_edge_types
         v = batch.num_nodes_padded
+        vr = node_states.shape[0]  # ext rows in halo-SPMD mode
         heads = self.num_heads
         head_dim = self.hidden_dim // heads
 
         transformed = TypedLinear(
             num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights"
-        )(node_states)  # [L, V, H]
+        )(node_states)  # [L, Vr, H]
         attention_params = self.param(
             "edge_attention_parameters",
             nn.initializers.glorot_uniform(batch_axis=(0,)),
             (num_types, heads, 2 * head_dim),
         )
-        per_head = transformed.reshape(num_types, v, heads, head_dim)
+        per_head = transformed.reshape(num_types, vr, heads, head_dim)
         src_scores = jnp.einsum(
             "lvkd,lkd->lvk", per_head, attention_params[:, :, :head_dim]
         )
@@ -174,15 +175,15 @@ class RGAT(MessagePassing):
             "lvkd,lkd->lvk", per_head, attention_params[:, :, head_dim:]
         )
 
-        # One bundled source gather: [LV, H + K]. Messages go in HK-MAJOR
+        # One bundled source gather: [L*Vr, H + K]. Messages go in HK-MAJOR
         # head layout (column hk*K + k) to match the fused attention
         # kernel's tiled expd scaling.
         transformed_hk = per_head.transpose(0, 1, 3, 2).reshape(
-            num_types, v, self.hidden_dim
+            num_types, vr, self.hidden_dim
         )
         src_bundle = jnp.concatenate(
-            [transformed_hk.reshape(num_types * v, self.hidden_dim),
-             src_scores.reshape(num_types * v, heads)],
+            [transformed_hk.reshape(num_types * vr, self.hidden_dim),
+             src_scores.reshape(num_types * vr, heads)],
             axis=1,
         )
         if self.edge_dtype != "float32":
@@ -196,7 +197,7 @@ class RGAT(MessagePassing):
         src_score_g = bundle_g[:, self.hidden_dim:]
 
         tgt_score_g = plan_gather_tgt_typed(
-            tgt_scores.transpose(1, 0, 2).reshape(v * num_types, heads),
+            tgt_scores[:, :v].transpose(1, 0, 2).reshape(v * num_types, heads),
             plan.type_fwd, plan.tgtabs_fwd, plan.rel_tgt, plan.tgt_blocks,
             num_types,
         )

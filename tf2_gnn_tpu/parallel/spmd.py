@@ -49,13 +49,23 @@ def partition_graph(
     graph_labels: Optional[Dict[str, np.ndarray]] = None,
     num_graphs_padded: Optional[int] = None,
     build_scatter_plans: bool = False,
+    halo: bool = True,
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
 
     Returns a GraphBatch whose array leaves carry a leading shard axis
     (feed through shard_map with in_specs P(axis_name)) plus stacked labels.
-    Node ids in ``edge_sources`` stay GLOBAL; ``edge_targets`` become local
-    to the target's owning shard, with padded slots -> the discard row.
+    ``edge_targets`` become local to the target's owning shard, with padded
+    slots -> the discard row.
+
+    With ``halo=True`` (default) the partitioner also plans the
+    boundary-only exchange: per (owner, consumer) pair it lists the rows the
+    consumer's edges actually reference, ``edge_sources`` are remapped to
+    EXT-LOCAL ids into ``[local | owner-0 halo | owner-1 halo | ...]``, and
+    every MP layer moves only those boundary rows over one ``all_to_all``
+    (bytes ~ boundary * D) instead of all_gathering the full node table
+    (bytes ~ S * V * D). ``halo=False`` keeps GLOBAL source ids + the
+    legacy per-layer all_gather.
     """
     num_nodes = node_features.shape[0]
     if build_scatter_plans:
@@ -124,11 +134,63 @@ def partition_graph(
                 targets[t][s, :count] = e[:, 1] - lo
             num_edges[s, t] = count
 
+    halo_send_idx = None
+    ext_nodes = None
+    if halo:
+        # Per (consumer, owner): the sorted unique global rows the consumer's
+        # edges reference on that owner. The owner's send list to each
+        # destination is the same set expressed in its local row ids.
+        needed: List[List[np.ndarray]] = []
+        for s in range(num_shards):
+            lo, hi = s * nodes_per_shard, (s + 1) * nodes_per_shard
+            all_src = np.concatenate(
+                [sources[t][s, :num_edges[s, t]] for t in range(num_types)]
+            ) if num_edges[s].sum() else np.zeros((0,), np.int64)
+            remote = all_src[(all_src < lo) | (all_src >= hi)]
+            uniq = np.unique(remote)
+            needed.append([
+                uniq[(uniq // nodes_per_shard) == r] for r in range(num_shards)
+            ])
+        max_send = max(
+            [needed[s][r].shape[0] for s in range(num_shards)
+             for r in range(num_shards)] + [1]
+        )
+        max_send = _round_up(max_send, 8)
+        halo_rows = num_shards * max_send
+        ext_nodes = nodes_per_shard + _round_up(halo_rows, node_alignment)
+        # send list of OWNER r to DESTINATION d = needed[d][r] in r-local ids.
+        pad_row = nodes_per_shard - 1
+        halo_send_idx = np.full((num_shards, num_shards, max_send), pad_row,
+                                dtype=np.int32)
+        for r in range(num_shards):
+            for d in range(num_shards):
+                rows = needed[d][r] - r * nodes_per_shard
+                halo_send_idx[r, d, :rows.shape[0]] = rows
+        # Remap sources to ext-local ids: halo slot of global row g (owner r)
+        # as seen by consumer s = Vp + r*max_send + position in needed[s][r].
+        for s in range(num_shards):
+            lo = s * nodes_per_shard
+            for t in range(num_types):
+                cnt = int(num_edges[s, t])
+                col = sources[t][s]
+                g_ = col[:cnt].astype(np.int64)
+                owner = g_ // nodes_per_shard
+                ext = g_ - lo  # local rows resolve directly
+                for r in range(num_shards):
+                    if r == s:
+                        continue
+                    mask = owner == r
+                    if mask.any():
+                        pos = np.searchsorted(needed[s][r], g_[mask])
+                        ext[mask] = nodes_per_shard + r * max_send + pos
+                col[:cnt] = ext
+                col[cnt:] = pad_row  # padded slots gather the local pad row
+
     scatter_plans = None
     if build_scatter_plans:
         from ..ops.spmm_pallas import build_merged_plans
 
-        global_rows = nodes_per_shard * num_shards
+        src_space = ext_nodes if halo else nodes_per_shard * num_shards
         per_shard_plans = []
         for s_ in range(num_shards):
             plan = build_merged_plans(
@@ -136,7 +198,7 @@ def partition_graph(
                 [targets[t][s_] for t in range(num_types)],
                 [int(num_edges[s_, t]) for t in range(num_types)],
                 nodes_per_shard,
-                src_space=global_rows,
+                src_space=src_space,
             )
             per_shard_plans.append(plan.astuple())
         # Stack each plan array across shards (leading mesh axis).
@@ -166,6 +228,8 @@ def partition_graph(
         spmd_num_shards=num_shards,
         scatter_plans=scatter_plans,
         in_degrees=in_degrees,
+        halo_send_idx=halo_send_idx,
+        halo_ext_nodes=ext_nodes,
     )
 
     labels: Dict[str, np.ndarray] = {}
