@@ -8,8 +8,11 @@ collectives anywhere); this package is designed TPU-first instead of ported:
   of batch DP).
 * ``spmd`` — node/edge-partitioned execution of ONE giant graph across the
   mesh (the GNN analog of sequence/context parallelism): each device owns a
-  contiguous node range plus all edges targeting it; per layer, transformed
-  source features are exchanged over ICI and aggregated locally.
+  contiguous node range plus all edges targeting it; per layer, only the
+  host-planned BOUNDARY rows are exchanged over ICI (one all_to_all) and
+  aggregation stays local.
+* ``multiprocess`` — jax.distributed wiring so the same shard_map schemes
+  span N>=2 hosts (global meshes, host-local -> global array lifting).
 """
 from .data_parallel import (
     make_dp_eval_step,
@@ -17,6 +20,12 @@ from .data_parallel import (
     make_mesh,
     shard_batches,
     stack_batches,
+)
+from .multiprocess import (
+    distribute_batch,
+    global_mesh,
+    initialize_multiprocess,
+    replicate_to_mesh,
 )
 from .hybrid import (
     make_hybrid_mesh,
@@ -31,6 +40,10 @@ from .spmd import (
 )
 
 __all__ = [
+    "distribute_batch",
+    "global_mesh",
+    "initialize_multiprocess",
+    "replicate_to_mesh",
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_hybrid_mesh",
