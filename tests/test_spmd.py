@@ -267,7 +267,9 @@ def test_hybrid_2d_mesh_matches_single_device():
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin", "rgat"])
+@pytest.mark.parametrize(
+    "flavour", ["rgcn", "ggnn", "rgin", "rgat", "gnn_edge_mlp", "gnn_film"]
+)
 def test_spmd_fused_pallas_matches_single_device(flavour):
     """Node-partitioned execution WITH the fused Pallas kernels: per-shard
     scatter plans + all_gather-ed global tables reproduce the single-device

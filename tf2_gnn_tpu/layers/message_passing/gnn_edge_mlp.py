@@ -35,11 +35,13 @@ class GNN_Edge_MLP(MessagePassing):
     use_target_state_as_input: bool = True
     normalize_by_num_incoming: bool = False
     num_edge_MLP_hidden_layers: int = 1
-    # The fused path for target-state messages needs a second per-edge gather
-    # whose backward runs over the merged [L*V] row space; measured on v5e it
-    # LOSES to the XLA path for H=320 streams (flavour_sweep.py), so it is
-    # opt-in until the target-gather kernel is optimised.
-    fused_target_gather: bool = False
+    # Preferred target-state route: the factorised merged-target pair path
+    # (no per-edge target traffic at all — wins 3.8-5.4x over XLA,
+    # PERFORMANCE.md round 2). This flag gates the scatter-plan FALLBACK
+    # (second per-edge gather, type-minor layout) used when pair plans are
+    # absent — e.g. SPMD batches; it measures at parity with XLA, so it is
+    # on by default and kept only as an A/B escape hatch.
+    fused_target_gather: bool = True
 
     @classmethod
     def get_default_hyperparameters(cls) -> Dict[str, Any]:
@@ -49,7 +51,7 @@ class GNN_Edge_MLP(MessagePassing):
                 "use_target_state_as_input": True,
                 "normalize_by_num_incoming": False,
                 "num_edge_MLP_hidden_layers": 1,
-                "fused_target_gather": False,
+                "fused_target_gather": True,
             }
         )
         return params
