@@ -434,7 +434,6 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
 
             dma.wait()
 
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         tb = grp_tgt_ref[g]
         w_contrib = jnp.zeros((BLK, TILE), jnp.float32)
@@ -449,9 +448,10 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                            precision=_prec(table_vmem.dtype))
             scaled = (msgs * pltpu.repeat(e_c, TILE // w, axis=1)
                       ).astype(table_vmem.dtype)
-            oh_t = (rows_i == rel_t[None, :]).astype(table_vmem.dtype)
-            w_contrib = w_contrib + jnp.dot(
-                oh_t, scaled, preferred_element_type=jnp.float32,
+            oh_tv = (cols_i == rel_t[:, None]).astype(table_vmem.dtype)
+            w_contrib = w_contrib + jax.lax.dot_general(
+                oh_tv, scaled, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
                 precision=_prec(table_vmem.dtype))
 
             # Softmax denominators: accumulate transposed ([ACC_W, V] keeps
@@ -460,11 +460,9 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
             @pl.when(t == 0)
             def _():
                 e_n = e_c[:, :ACC_W]
-                oh_tv = (cols_i == rel_t[:, None]).astype(jnp.float32)
-                # Contract the slot axes directly (transposed-lhs matmul —
-                # no explicit relayout of e_n).
+                # Contract the slot axes directly (transposed-lhs matmul).
                 d_t = jax.lax.dot_general(
-                    e_n, oh_tv, (((0,), (0,)), ((), ())),
+                    e_n, oh_tv.astype(jnp.float32), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=EXACT)                    # [ACC_W, BLK]
                 den_acc[:, pl.ds(tb * BLK, BLK)] = (
@@ -632,7 +630,6 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
 
         u_blk = grp_tgt_ref[g]                 # merged source-row block
         ltype = u_blk * BLK // v               # edge type (group-constant)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         ss_contrib = jnp.zeros((BLK, w), jnp.float32)
         tab_contrib = jnp.zeros((BLK, haug), jnp.float32)
@@ -657,24 +654,24 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
                          preferred_element_type=jnp.float32,
                          precision=_prec(stream_dtype))    # [E_C, W]
             d_p = e_c * s_c * de
-            oh_su = (rows_i == rel_u[None, :])
-            ss_contrib = ss_contrib + jnp.dot(
-                oh_su.astype(jnp.float32), d_p,
+            # Scatter-side products contract the SLOT axis of the same
+            # one-hots used for gathering (dim-0 contraction = transposed-lhs
+            # matmul) — no second set of one-hot builds.
+            ss_contrib = ss_contrib + jax.lax.dot_general(
+                oh_u.astype(jnp.float32), d_p, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=EXACT)
             scaled = (dwg * pltpu.repeat(e_c, rep_tab, axis=1)
                       ).astype(stream_dtype)  # rep pattern: col %% W = head
-            tab_contrib = tab_contrib + jnp.dot(
-                oh_su.astype(stream_dtype), scaled,
+            tab_contrib = tab_contrib + jax.lax.dot_general(
+                oh_u, scaled, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec(stream_dtype))
             # d_tgt_scores: accumulate transposed into the resident scratch
-            # ([W, L*V] keeps the physical footprint at W sublanes).
-            # oh_sv[s, col] = (col == target-rel of slot s): contracting the
-            # slot axes scatters slot cotangents onto target columns
-            # (transposed-lhs matmul, no relayout of d_p).
-            oh_sv = (cols_i == rel_v[:, None]).astype(jnp.float32)
+            # ([W, L*V] keeps the physical footprint at W sublanes);
+            # contracting d_p's slot axis with oh_v scatters onto target
+            # columns directly.
             contrib_t = jax.lax.dot_general(
-                d_p, oh_sv, (((0,), (0,)), ((), ())),
+                d_p, oh_v.astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=EXACT)                           # [ACC_W, BLK]
             out_blk = ltype * v_blocks + v_blk
