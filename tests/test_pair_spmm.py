@@ -126,7 +126,7 @@ def test_pair_plan_overflow_spill_exact():
     total = sum(counts)
     plans = ps.build_pair_plans(
         srcs, tgts, counts, v,
-        chunk_budget_fwd=ps.GROUP * 4, chunk_budget_bwd=ps.GROUP * 4,
+        chunk_budget_fwd=ps.GROUP * 2, chunk_budget_bwd=ps.GROUP * 2,
         overflow_budget=((total + 63) // 64) * 64,
     )
     assert int(np.sum(np.asarray(plans.ovf_tgt) < v)) > 0  # actually spilled

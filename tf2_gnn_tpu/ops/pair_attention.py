@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pair_spmm import BLK, E_C, GROUP
+from .pair_spmm import BLK, E_C, plan_group
 
 TILE = 128
 NEG = -1e30
@@ -112,8 +112,9 @@ def _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt):
     rel_s = jnp.asarray(rel_src).reshape(-1)
     rel_t = jnp.asarray(rel_tgt).reshape(-1)
     chunk = jnp.arange(rel_s.shape[0]) // E_C
+    group = plan_group(src_blk, grp_tgt)
     srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(grp_tgt)[chunk // GROUP] * BLK
+    tgtabs = (jnp.asarray(grp_tgt)[chunk // group] * BLK
               + jnp.minimum(rel_t, BLK - 1))
     valid = (rel_s < BLK) & (rel_t < BLK)
     return srcabs, tgtabs, valid
@@ -153,7 +154,8 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
     k = num_heads
     v = num_nodes
     num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
     v_blocks = v // BLK
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
@@ -170,10 +172,10 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         m_local = jnp.full((BLK, k), NEG, jnp.float32)
-        for c in range(GROUP):
+        for c in range(group):
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
-            sblk = src_blk_ref[g * GROUP + c]
+            sblk = src_blk_ref[g * group + c]
             tsb = (sblk * BLK // v) * v_blocks + grp_tgt_ref[g]
             oh_s = (cols_i == rel_s[:, None]).astype(sc_vmem.dtype)
             oh_tT = (cols_i == rel_t[:, None]).astype(sc_vmem.dtype)
@@ -212,9 +214,9 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
         num_scalar_prefetch=2,
         grid=(num_groups,),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed scores stay in HBM
             pl.BlockSpec((BLK, k), lambda g, s, tb: (tb[g], 0),
@@ -278,7 +280,8 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     w = _expd_width(k)
     v = num_nodes
     num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
     v_blocks = v // BLK
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
@@ -295,16 +298,16 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             dma2.wait()
 
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
-        for c in range(GROUP):
+        for c in range(group):
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
             if swap:
                 # Backward plan: plan-"src" = target node, plan-"tgt" = row.
                 u_blk = (grp_tgt_ref[g]).astype(jnp.int32)
-                v_blk = src_blk_ref[g * GROUP + c]
+                v_blk = src_blk_ref[g * group + c]
                 rel_u, rel_v = rel_t, rel_s
             else:
-                u_blk = src_blk_ref[g * GROUP + c]
+                u_blk = src_blk_ref[g * group + c]
                 v_blk = grp_tgt_ref[g]
                 rel_u, rel_v = rel_s, rel_t
             tsb = (u_blk * BLK // v) * v_blocks + v_blk
@@ -334,17 +337,17 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
         num_scalar_prefetch=2,
         grid=(num_groups,),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -411,7 +414,8 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
     w = _expd_width(k)
     v = num_nodes
     num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
     h_tiles = h // TILE
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
@@ -437,12 +441,12 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         tb = grp_tgt_ref[g]
         w_contrib = jnp.zeros((BLK, TILE), jnp.float32)
-        for c in range(GROUP):
+        for c in range(group):
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
             e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W] f32
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
-            blk = src_blk_ref[g * GROUP + c]
+            blk = src_blk_ref[g * group + c]
             msgs = jnp.dot(oh_s, table_vmem[pl.ds(blk * BLK, BLK), :],
                            preferred_element_type=jnp.float32,
                            precision=_prec(table_vmem.dtype))
@@ -487,11 +491,11 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
         num_scalar_prefetch=2,
         grid=(h_tiles, num_groups),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group * E_C, w), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
@@ -585,7 +589,8 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
     v = num_nodes
     v_blocks = v // BLK
     num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
 
     # Augment: table gains ACC_W ones-columns at ``h``, d_weighted gains the
     # ACC_W-tiled d_denom columns there. The aug columns reuse the lane-tile
@@ -634,12 +639,12 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
         ss_contrib = jnp.zeros((BLK, w), jnp.float32)
         tab_contrib = jnp.zeros((BLK, haug), jnp.float32)
         rep_tab = haug // w
-        for c in range(GROUP):
+        for c in range(group):
             rel_v = rel_s_ref[c, :]   # plan-"src" = original target node
             rel_u = rel_t_ref[c, :]   # plan-"tgt" = original source row
             e_c = expd_ref[pl.ds(c * E_C, E_C), :]    # [E_C, W]
             s_c = slope_ref[pl.ds(c * E_C, E_C), :]
-            v_blk = src_blk_ref[g * GROUP + c]
+            v_blk = src_blk_ref[g * group + c]
             oh_v = (cols_i == rel_v[:, None]).astype(stream_dtype)
             oh_u = (cols_i == rel_u[:, None]).astype(stream_dtype)
             dwg = jnp.dot(oh_v, dw_vmem[pl.ds(v_blk * BLK, BLK), :],
@@ -700,13 +705,13 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
         num_scalar_prefetch=2,
         grid=(num_groups,),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP * E_C, w), lambda g, *s: (g, 0),
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, haug), lambda g, s, tb: (tb[g], 0),
                          memory_space=pltpu.VMEM),  # group's source rows
@@ -745,7 +750,7 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
         input_output_aliases={9: 0, 10: 1},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (3 * BLK * E_C * haug),
-            bytes_accessed=(num_chunks // GROUP) * BLK * haug * 2
+            bytes_accessed=(num_chunks // group) * BLK * haug * 2
             + v * haug * 2 + num_chunks * E_C * (8 + 8 * w)
             + rows * (haug + 2 * w) * 4,
             transcendentals=0,

@@ -44,6 +44,13 @@ from .spmm_pallas import BLOCK_NODES as BLK
 
 E_C = 128    # edge slots per chunk (one (tgt_block, src_block) pair each)
 GROUP = 16   # chunks per grid step (all sharing one target block)
+# The BACKWARD plan uses a smaller group: its output blocks are merged
+# source rows, whose runs are much shorter than the forward plan's target
+# runs (PPI bench: 171 runs of mean 14 chunks vs 57 runs of mean 42), so
+# GROUP-16 run alignment pads the plan ~2x while GROUP-8 costs only extra
+# grid steps. Kernels derive each plan's group from its array shapes
+# (src_blk.size // grp_tgt.size), so the two directions can differ freely.
+BWD_GROUP = 8
 TILE = 128   # feature tile; the wrapper pads H to a multiple of TILE
 # The table feature tile must stay resident in VMEM; above this budget the
 # caller should fall back to the sorted-scatter path (row-splitting is the
@@ -64,7 +71,12 @@ class PairPlan(NamedTuple):
     rel_src: np.ndarray    # int32 [C, E_C]
     rel_tgt: np.ndarray    # int32 [C, E_C]
     src_blk: np.ndarray    # int32 [C]
-    grp_tgt: np.ndarray    # int32 [C // GROUP]
+    grp_tgt: np.ndarray    # int32 [C // group]; group = C // grp_tgt.size
+
+
+def plan_group(src_blk, grp_tgt) -> int:
+    """Chunks per grid step of a plan, encoded by its array shapes."""
+    return src_blk.shape[0] // grp_tgt.shape[0]
 
 
 class PairPlans(NamedTuple):
@@ -118,18 +130,24 @@ def pair_chunk_budget(total_edge_budget: int, out_rows: int,
 
 
 def _plan_one_direction(
-    src: np.ndarray, tgt: np.ndarray, chunk_budget: Optional[int]
+    src: np.ndarray, tgt: np.ndarray, chunk_budget: Optional[int],
+    group: int = GROUP,
 ) -> Tuple[Optional[PairPlan], np.ndarray]:
     """Pair-chunk one direction. ``chunk_budget=None`` sizes the plan to the
     data (single-batch use). Returns (plan, overflow_edge_mask) where the
     mask marks input edges that did not fit the chunk budget (smallest pairs
-    are spilled first)."""
+    are spilled first). ``group`` chunks share one target block per grid
+    step (runs pad to a multiple of it); ``chunk_budget`` must divide by it.
+    """
     n = src.shape[0]
     overflow_mask = np.zeros((n,), bool)
+    if chunk_budget is not None and chunk_budget % group:
+        raise ValueError(
+            f"pair chunk budget {chunk_budget} not a multiple of {group}")
 
     if n == 0:
-        chunk_budget = chunk_budget or GROUP
-        num_groups = chunk_budget // GROUP
+        chunk_budget = chunk_budget or group
+        num_groups = chunk_budget // group
         rel = np.full((chunk_budget, E_C), BLK, np.int32)
         plan = PairPlan(rel, rel.copy(),
                         np.zeros((chunk_budget,), np.int32),
@@ -156,7 +174,7 @@ def _plan_one_direction(
         run_ends = np.concatenate((run_change, [p_tb.shape[0]]))
         csum = np.concatenate(([0], np.cumsum(p_chunks)))
         run_sizes = csum[run_ends] - csum[run_starts]
-        run_padded = ((run_sizes + GROUP - 1) // GROUP) * GROUP
+        run_padded = ((run_sizes + group - 1) // group) * group
         run_base = np.concatenate(([0], np.cumsum(run_padded)))[:-1]
         # Chunk start of each kept pair: run base + offset within run.
         pair_run = np.repeat(np.arange(run_starts.shape[0]),
@@ -168,7 +186,7 @@ def _plan_one_direction(
 
     chunk_start, p_chunks, total, p_tb, _, _ = grouping(keep_pair)
     if chunk_budget is None:
-        chunk_budget = max(total, GROUP)
+        chunk_budget = max(total, group)
     if total > chunk_budget:
         # Spill smallest pairs (least dense => worst kernel value) until fit,
         # dropping batches of pairs per re-grouping pass.
@@ -229,7 +247,7 @@ def _plan_one_direction(
         rel_src.reshape(chunk_budget, E_C),
         rel_tgt.reshape(chunk_budget, E_C),
         src_blk,
-        tgt_blk[::GROUP].copy(),
+        tgt_blk[::group].copy(),
     )
     return plan, overflow_mask
 
@@ -240,8 +258,9 @@ def _np_slot_abs(plan: PairPlan):
     rel_s = plan.rel_src.reshape(-1)
     rel_t = plan.rel_tgt.reshape(-1)
     chunk = np.arange(rel_s.shape[0]) // E_C
+    group = plan_group(plan.src_blk, plan.grp_tgt)
     srcabs = plan.src_blk[chunk].astype(np.int64) * BLK + np.minimum(rel_s, BLK - 1)
-    tgtabs = (plan.grp_tgt[chunk // GROUP].astype(np.int64) * BLK
+    tgtabs = (plan.grp_tgt[chunk // group].astype(np.int64) * BLK
               + np.minimum(rel_t, BLK - 1))
     valid = (rel_s < BLK) & (rel_t < BLK)
     return srcabs, tgtabs, valid
@@ -330,7 +349,8 @@ def build_pair_plans(
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
 
     fwd, ovf_f = _plan_one_direction(all_src, all_tgt, chunk_budget_fwd)
-    bwd, ovf_b = _plan_one_direction(all_tgt, all_src, chunk_budget_bwd)
+    bwd, ovf_b = _plan_one_direction(all_tgt, all_src, chunk_budget_bwd,
+                                     group=BWD_GROUP)
     ovf = ovf_f | ovf_b  # an edge must take the same path in fwd and bwd
     if ovf.any():
         # Re-plan excluding ALL overflow edges so fwd/bwd stay consistent
@@ -339,7 +359,8 @@ def build_pair_plans(
         fwd, extra_f = _plan_one_direction(all_src[keep], all_tgt[keep],
                                            fwd.rel_src.shape[0])
         bwd, extra_b = _plan_one_direction(all_tgt[keep], all_src[keep],
-                                           bwd.rel_src.shape[0])
+                                           bwd.rel_src.shape[0],
+                                           group=BWD_GROUP)
         if extra_f.any() or extra_b.any():  # pragma: no cover
             raise AssertionError("pair plan did not converge")
     num_overflow = int(ovf.sum())
@@ -371,8 +392,9 @@ def pair_slot_abs_ids(plan_arrays, which: str):
     rel_s = jnp.asarray(p.rel_src).reshape(-1)
     rel_t = jnp.asarray(p.rel_tgt).reshape(-1)
     chunk = jnp.arange(rel_s.shape[0]) // E_C
+    group = plan_group(p.src_blk, p.grp_tgt)
     srcabs = jnp.asarray(p.src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(p.grp_tgt)[chunk // GROUP] * BLK
+    tgtabs = (jnp.asarray(p.grp_tgt)[chunk // group] * BLK
               + jnp.minimum(rel_t, BLK - 1))
     valid = (rel_s < BLK) & (rel_t < BLK)
     return srcabs, tgtabs, valid
@@ -397,7 +419,7 @@ def measure_pair_chunks(
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
     fwd, _ = _plan_one_direction(all_src, all_tgt, None)
-    bwd, _ = _plan_one_direction(all_tgt, all_src, None)
+    bwd, _ = _plan_one_direction(all_tgt, all_src, None, group=BWD_GROUP)
     return fwd.rel_src.shape[0], bwd.rel_src.shape[0]
 
 
@@ -469,7 +491,8 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
     table = _pad_cols(table, TILE)
     rows, h = table.shape
     num_chunks = rel_src.shape[0]
-    num_groups = num_chunks // GROUP
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
     h_tiles = h // TILE
     out_dtype = jnp.float32
 
@@ -490,7 +513,7 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         contrib = jnp.zeros((BLK, TILE), jnp.float32)
-        for k in range(GROUP):
+        for k in range(group):
             rel_t = rel_t_ref[k, :]
             rel_s = rel_s_ref[k, :]
             sc = scale_ref[k, :]
@@ -498,7 +521,7 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
                     * sc[None, :]).astype(table_vmem.dtype)
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
             a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
-            blk = src_blk_ref[g * GROUP + k]
+            blk = src_blk_ref[g * group + k]
             tb = table_vmem[pl.ds(blk * BLK, BLK), :]
             contrib = contrib + jnp.dot(
                 a.astype(table_vmem.dtype), tb,
@@ -520,11 +543,11 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
         num_scalar_prefetch=2,  # src_blk, grp_tgt
         grid=(h_tiles, num_groups),
         in_specs=[
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, E_C), lambda t, g, *s: (g, 0),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
@@ -562,8 +585,9 @@ def _pair_spmm_jnp(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
     rel_s = jnp.asarray(rel_src).reshape(-1)
     rel_t = jnp.asarray(rel_tgt).reshape(-1)
     chunk = jnp.arange(rel_s.shape[0]) // E_C
+    group = plan_group(src_blk, grp_tgt)
     srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(grp_tgt)[chunk // GROUP] * BLK
+    tgtabs = (jnp.asarray(grp_tgt)[chunk // group] * BLK
               + jnp.minimum(rel_t, BLK - 1))
     valid = ((rel_s < BLK) & (rel_t < BLK))
     msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
