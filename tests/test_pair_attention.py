@@ -274,9 +274,9 @@ def test_pair_attention_kernels_match_twins_on_tpu():
     dw = jnp.asarray(np.random.RandomState(2).randn(
         v, table.shape[1]).astype(np.float32))
     dd = jnp.asarray(np.random.RandomState(3).randn(v, k).astype(np.float32))
-    r3 = pa.pair_attention_bwd_fused(table, dw, dd, e_b, s_b, *b, v, k,
+    r3 = pa.pair_attention_bwd_fused(table, dw, dd, scores, m_safe, *b, v, k,
                                      interpret=True)
-    d3 = pa.pair_attention_bwd_fused(table, dw, dd, e_b, s_b, *b, v, k,
+    d3 = pa.pair_attention_bwd_fused(table, dw, dd, scores, m_safe, *b, v, k,
                                      interpret=False)
     for name, x, y in zip(("d_ss", "d_ts", "d_table"), d3, r3):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),

@@ -8,10 +8,10 @@ kernels that never leave the chunk layout and never row-gather on XLA:
   LeakyReLU logits, reading both score halves from ONE VMEM-resident packed
   score table ``[L*V, 2K]`` (columns 0..K-1 source halves, K..2K-1 target
   halves — both live in the merged ``l*V + node`` row space).
-* ``_expd_kernel``  (fwd/bwd, grouped): materialises per-slot
-  ``expd = exp(leaky(p) - max[tgt])`` and the LeakyReLU slope, in the slot
-  order of EITHER plan direction (the backward pass recomputes expd in
-  backward slot order instead of row-gathering it through ``bwd2fwd``).
+* ``_expd_kernel``  (fwd, grouped): materialises per-slot
+  ``expd = exp(leaky(p) - max[tgt])`` and the LeakyReLU slope in forward
+  slot order for the aggregation kernel (the backward pass recomputes expd
+  INSIDE ``_bwd_fused`` instead of streaming it through HBM).
 * ``_agg_kernel``   (fwd, grouped): the pair SpMM generalised to per-slot
   PER-HEAD scales — one pass emits softmax denominators [V, K] AND
   exp-weighted message sums [V, H] with the message table feature tile
@@ -20,9 +20,14 @@ kernels that never leave the chunk layout and never row-gather on XLA:
 * ``_bwd_fused`` (bwd, grouped): ONE pass over the backward plan emits all
   three gradients — d_src_scores and d_table through per-group output
   blocks (backward groups share a source-row block), d_tgt_scores through
-  a small transposed VMEM accumulator flushed at the end. The d_denom
-  cotangent rides an augmented cotangent table (ones-columns trick) so it
-  shares the one-hot gather with d_weighted.
+  a small transposed VMEM accumulator flushed at the end. Everything the
+  pass needs rides the two gathers it already performs: the d_denom
+  cotangent and the softmax statistics come through AUGMENTED tables —
+  ones / source-score columns appended to the message table, tiled
+  d_denom / max-stabiliser / per-type target-score columns appended to
+  the cotangent table — so expd and the LeakyReLU slope are recomputed
+  in-register from the bundled gathers (no expd stream through HBM, no
+  separate backward expd kernel).
 
 Edges that spilled the pair-chunk budget contribute through an XLA overflow
 term INSIDE the custom VJP (they participate in the same softmax).
@@ -576,7 +581,7 @@ def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
 # and the head-sum matrix maps it straight into de.
 # ---------------------------------------------------------------------------
 
-def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
+def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
                       rel_src, rel_tgt, src_blk, grp_tgt,
                       num_nodes: int, num_heads: int):
     from jax.experimental import pallas as pl
@@ -591,22 +596,38 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
+    num_types = table.shape[0] // v
 
-    # Augment: table gains ACC_W ones-columns at ``h``, d_weighted gains the
-    # ACC_W-tiled d_denom columns there. The aug columns reuse the lane-tile
-    # padding when it is wide enough (hidden 320 pads to 384, leaving 64
-    # spare lanes >= ACC_W) — otherwise one more tile is appended.
+    # Augment: the kernel's two one-hot gathers (source rows from the table,
+    # target rows from the cotangent) carry EVERYTHING the pass needs, so
+    # expd/slope never touch HBM. Table side: ACC_W ones-columns at ``h``
+    # (the d_denom ride-along) + the K source-score columns. Cotangent side:
+    # the ACC_W-tiled d_denom + the K max stabilisers + L per-type
+    # target-score slabs (the edge type is group-constant, so the kernel
+    # selects its slab with a predicated sum). The aug columns reuse the
+    # lane-tile padding when wide enough (hidden 320 pads to 384, leaving
+    # 64 spare >= 16+4+3*4 at the bench shape) — else one tile is appended.
     stream_dtype = table.dtype
     h = table.shape[1]
-    haug = max(((h + aw + TILE - 1) // TILE) * TILE, TILE)
+    ss_base = h + aw
+    ts_base = ss_base + k
+    extra = aw + k + num_types * k
+    haug = max(((h + extra + TILE - 1) // TILE) * TILE, TILE)
     table_aug = jnp.concatenate(
         [table,
          jnp.ones((table.shape[0], aw), stream_dtype),
-         jnp.zeros((table.shape[0], haug - h - aw), stream_dtype)], axis=1)
+         scores[:, :k].astype(stream_dtype),
+         jnp.zeros((table.shape[0], haug - ts_base), stream_dtype)], axis=1)
+    ts_slabs = (scores[:, k:2 * k].astype(stream_dtype)
+                .reshape(num_types, v, k)
+                .transpose(1, 0, 2).reshape(v, num_types * k))
     dw_aug = jnp.concatenate(
         [d_weighted.astype(stream_dtype)[:, :h],
          jnp.tile(d_denom, (1, aw // k)).astype(stream_dtype),
-         jnp.zeros((v, haug - h - aw), stream_dtype)], axis=1)
+         maxes.astype(stream_dtype),
+         ts_slabs,
+         jnp.zeros((v, haug - ts_base - num_types * k), stream_dtype)],
+        axis=1)
     # Head-sum matrix over the augmented width (de is stream-wide): message
     # column hd*K + j belongs to head j, so pm maps it into every output
     # column of head j; augmented column h + j feeds ddg into exactly the
@@ -619,8 +640,8 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
                        == np.arange(w)[None, :] % aw)
     assert w == aw
 
-    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
-               slope_ref, table_blk_ref, dw_hbm, p_ref, zeros_ss_ref,
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref,
+               table_blk_ref, dw_hbm, p_ref, zeros_ss_ref,
                zeros_tab_ref, dss_ref, dtab_ref, dts_ref,
                dw_vmem, dts_acc, copy_sem):
         del zeros_ss_ref, zeros_tab_ref
@@ -642,8 +663,6 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
         for c in range(group):
             rel_v = rel_s_ref[c, :]   # plan-"src" = original target node
             rel_u = rel_t_ref[c, :]   # plan-"tgt" = original source row
-            e_c = expd_ref[pl.ds(c * E_C, E_C), :]    # [E_C, W]
-            s_c = slope_ref[pl.ds(c * E_C, E_C), :]
             v_blk = src_blk_ref[g * group + c]
             oh_v = (cols_i == rel_v[:, None]).astype(stream_dtype)
             oh_u = (cols_i == rel_u[:, None]).astype(stream_dtype)
@@ -653,6 +672,21 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
             msgs = jnp.dot(oh_u, table_blk_ref[:, :],
                            preferred_element_type=jnp.float32,
                            precision=_prec(stream_dtype))  # [E_C, Haug]
+            # expd/slope from the bundled score columns of the two gathers
+            # (same dtype+precision as the expd kernel's own score gathers).
+            ss = msgs[:, ss_base:ss_base + k]
+            mx = dwg[:, ss_base:ss_base + k]
+            ts = jnp.zeros((E_C, k), jnp.float32)
+            for l in range(num_types):
+                m_l = (ltype == l).astype(jnp.float32)
+                ts = ts + m_l * dwg[:, ts_base + l * k:ts_base + (l + 1) * k]
+            p = ss + ts
+            logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+            valid = (rel_v[:, None] < BLK) & (rel_u[:, None] < BLK)
+            e_k = jnp.where(valid, jnp.exp(logit - mx), 0.0)
+            s_k = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+            e_c = pltpu.repeat(e_k, w // k, axis=1)        # [E_C, W]
+            s_c = pltpu.repeat(s_k, w // k, axis=1)
             # The head-sum contraction follows the stream precision contract
             # (its inputs are already products of stream-rounded values).
             de = jnp.dot((msgs * dwg).astype(stream_dtype), p_ref[:, :],
@@ -709,10 +743,6 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, haug), lambda g, s, tb: (tb[g], 0),
                          memory_space=pltpu.VMEM),  # group's source rows
             pl.BlockSpec(memory_space=pltpu.ANY),   # dw_aug stays in HBM
@@ -747,21 +777,21 @@ def _bwd_fused_device(table, d_weighted, d_denom, expd_b, slope_b,
             jax.ShapeDtypeStruct((rows, haug), jnp.float32),
             jax.ShapeDtypeStruct((ACC_W, rows), jnp.float32),
         ),
-        input_output_aliases={9: 0, 10: 1},
+        input_output_aliases={7: 0, 8: 1},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (3 * BLK * E_C * haug),
             bytes_accessed=(num_chunks // group) * BLK * haug * 2
-            + v * haug * 2 + num_chunks * E_C * (8 + 8 * w)
+            + v * haug * 2 + num_chunks * E_C * 8
             + rows * (haug + 2 * w) * 4,
-            transcendentals=0,
+            transcendentals=num_chunks * E_C * k,
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), expd_b, slope_b, table_aug, dw_aug,
+      jnp.asarray(rel_tgt), table_aug, dw_aug,
       jnp.asarray(pm, dtype=stream_dtype), zeros_ss, zeros_tab)
     return d_ss_w[:, :k], d_ts_t.T[:, :k], d_tab[:, :orig_h]
 
 
-def _bwd_fused_jnp(table, d_weighted, d_denom, expd_b, slope_b,
+def _bwd_fused_jnp(table, d_weighted, d_denom, scores, maxes,
                    rel_src, rel_tgt, src_blk, grp_tgt,
                    num_nodes: int, num_heads: int):
     rows = table.shape[0]
@@ -775,8 +805,14 @@ def _bwd_fused_jnp(table, d_weighted, d_denom, expd_b, slope_b,
                    mode="clip").astype(jnp.float32)
     ddg = jnp.take(d_denom, tgt_nodes, axis=0, mode="clip")
     de = (msgs * dwg).reshape(-1, head_dim, k).sum(axis=1) + ddg
-    e_n = expd_b[:, :k]
-    d_p = e_n * slope_b[:, :k] * de * valid[:, None]
+    # expd/slope recomputed in backward slot order from scores + maxes
+    # (the device kernel reads them off its bundled gathers).
+    p, logit, tgt_b, _, _ = _slot_logits_jnp(
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=True)
+    mx = jnp.take(maxes, tgt_b, axis=0, mode="clip")
+    e_n = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+    slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+    d_p = e_n * slope * de * valid[:, None]
     seg_src = jnp.where(valid, src_rows, rows)
     d_ss = jax.ops.segment_sum(d_p, seg_src, num_segments=rows + 1)[:rows]
     seg_ts = jnp.where(valid, (src_rows // v) * v + tgt_nodes, rows)
@@ -787,7 +823,7 @@ def _bwd_fused_jnp(table, d_weighted, d_denom, expd_b, slope_b,
     return d_ss, d_ts, d_table
 
 
-def pair_attention_bwd_fused(table, d_weighted, d_denom, expd_b, slope_b,
+def pair_attention_bwd_fused(table, d_weighted, d_denom, scores, maxes,
                              rel_src, rel_tgt, src_blk, grp_tgt,
                              num_nodes: int, num_heads: int,
                              interpret=None):
@@ -797,14 +833,16 @@ def pair_attention_bwd_fused(table, d_weighted, d_denom, expd_b, slope_b,
         d_tgt_scores[l*V + t, j] = sum over type-l edges into t of d_p
         d_table[u, hd*K + j] = sum over edges (u -> t) of expd * dw[t]
 
-    with ``d_p = expd * slope * (head-sum(table[u] * dw[t]) + d_denom[t])``.
-    ``expd_b``/``slope_b`` must be EXPD_W-wide streams in BACKWARD slot
-    order; ``d_denom`` is [V, K]; ``d_weighted`` should be pre-cast to the
-    stream dtype."""
+    with ``d_p = expd * slope * (head-sum(table[u] * dw[t]) + d_denom[t])``
+    and ``expd``/``slope`` recomputed inside the pass from ``scores`` (the
+    packed [L*V, 2K] table) and ``maxes`` (the [V, K] stabilisers, already
+    rounded to the stream dtype by the caller so forward and backward use
+    the same stabiliser). ``d_denom`` is [V, K]; ``d_weighted`` should be
+    pre-cast to the stream dtype."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _bwd_fused_jnp if interpret else _bwd_fused_device
-    return fn(table, d_weighted, d_denom, expd_b, slope_b,
+    return fn(table, d_weighted, d_denom, scores, maxes,
               rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads)
 
 # ---------------------------------------------------------------------------
@@ -867,7 +905,12 @@ def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
     )[:v]
     m = jnp.maximum(m_k, jnp.maximum(m_o, NEG))
     # Targets with no in-edges keep a finite stabiliser so exp() stays 0.
+    # The stabiliser is rounded to the STREAM dtype: the backward kernel
+    # reads it through its bundled (stream-dtype) cotangent gather, and a
+    # softmax stabiliser only has to be consistent between forward and
+    # backward, not exact (shift invariance).
     m_safe = jax.lax.stop_gradient(jnp.where(m > 0.5 * NEG, m, 0.0))
+    m_safe = m_safe.astype(table_hk.dtype).astype(jnp.float32)
 
     expd_f, slope_f = pair_attention_expd(
         scores, m_safe, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, v, k,
@@ -922,15 +965,11 @@ def _pa_bwd(num_nodes, num_heads, res, g):
     rows = table_hk.shape[0]
     head_dim = table_hk.shape[1] // k
 
-    # expd in BACKWARD slot order is recomputed (a grouped kernel pass) —
-    # cheaper than row-gathering [slots, K] rows through a slot permutation.
-    expd_b, slope_b = pair_attention_expd(
-        scores, m_safe, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
-        swap=True,
-    )
-    # All three gradients from ONE grouped pass over the backward plan.
+    # All three gradients from ONE grouped pass over the backward plan;
+    # expd/slope are recomputed inside it from the bundled score gathers
+    # (no backward expd stream through HBM).
     d_ss, d_ts, d_table = pair_attention_bwd_fused(
-        table_hk, dw_stream, d_denom, expd_b, slope_b,
+        table_hk, dw_stream, d_denom, scores, m_safe,
         rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
     )
 
