@@ -1,0 +1,49 @@
+#!/bin/bash
+# One-pass TPU validation + measurement of everything that can only be
+# checked on the real chip. Run on a QUIET host (no concurrent pytest —
+# 1-CPU contention skews the differenced timings). Each stage appends to
+# $OUT so a mid-run tunnel drop loses nothing.
+#
+# Usage: bash benchmarks/tpu_runbook.sh [out_dir]
+set -u
+OUT=${1:-/tmp/tpu_runbook}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+probe() {
+    timeout 120 python -c "import jax; print(jax.devices())" 2>&1 \
+        | grep -v WARNING | tail -1
+}
+
+echo "== probe ==" | tee "$OUT/00_probe.log"
+probe | tee -a "$OUT/00_probe.log"
+if ! grep -q -i "axon\|tpu" "$OUT/00_probe.log"; then
+    echo "TPU tunnel not available — aborting." | tee -a "$OUT/00_probe.log"
+    exit 1
+fi
+
+echo "== device-kernel equivalence (pair SpMM + attention twins) =="
+timeout 1800 python -m pytest \
+    tests/test_pair_spmm.py tests/test_pair_attention.py -q \
+    > "$OUT/10_kernel_equiv.log" 2>&1
+tail -2 "$OUT/10_kernel_equiv.log"
+
+echo "== pair kernel micro-bench (fwd/bwd/grad) =="
+timeout 1800 python benchmarks/pair_bench.py > "$OUT/20_pair_bench.log" 2>&1
+tail -8 "$OUT/20_pair_bench.log"
+
+echo "== RGAT flavour sweep (XLA vs fused) =="
+timeout 2400 python benchmarks/flavour_sweep.py rgat \
+    > "$OUT/30_rgat_sweep.log" 2>&1
+tail -4 "$OUT/30_rgat_sweep.log"
+
+echo "== headline bench (driver metric) =="
+timeout 1800 python bench.py > "$OUT/40_bench.log" 2>&1
+tail -2 "$OUT/40_bench.log"
+
+echo "== full flavour sweep (PERFORMANCE.md table) =="
+timeout 7200 python benchmarks/flavour_sweep.py \
+    > "$OUT/50_full_sweep.log" 2>&1
+tail -14 "$OUT/50_full_sweep.log"
+
+echo "All stages done; logs in $OUT"
