@@ -255,3 +255,19 @@ def test_cli_ppi_shipped_config_end_to_end(tmp_path):
     with open(ckpt, "rb") as f:
         saved = pickle.load(f)
     assert saved["dataset_params"]["use_pallas_spmm"] is True
+
+
+def test_train_parser_accepts_reference_compat_flags():
+    """The reference CLI's remaining flags parse (drop-in compatibility:
+    cli_utils/training_utils.py:302-345)."""
+    from tf2_gnn_tpu.harness.run import get_train_cli_arg_parser
+
+    parser = get_train_cli_arg_parser()
+    args = parser.parse_args(
+        ["RGCN", "PPI", "/tmp/data",
+         "--disable-tf-func", "--azure-info", "azure_auth.json",
+         "--azureml_logging"]
+    )
+    assert args.disable_jit is True
+    assert args.azure_info == "azure_auth.json"
+    assert args.azureml_logging is True

@@ -120,6 +120,16 @@ def run_train_from_args(
     log_file = save_dir / f"{run_id}.log"
     log = lambda msg: log_line(log_file, msg)  # noqa: E731
 
+    if getattr(args, "disable_jit", False):
+        # Reference --disable-tf-func analog: run every step eagerly.
+        import jax
+
+        jax.config.update("jax_disable_jit", True)
+        log("jit disabled (--disable-tf-func): running steps eagerly.")
+    if getattr(args, "azure_info", None):
+        log("--azure-info accepted for compatibility, but azure:// paths "
+            "are unsupported here (see data/io.py).")
+
     seed = getattr(args, "random_seed", 0)
     set_seeds(seed)
 
@@ -276,6 +286,20 @@ def get_train_cli_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quiet", action="store_true", default=False)
     parser.add_argument("--debug", action="store_true", default=False,
                         help="Drop into pdb post-mortem on exceptions.")
+    # Drop-in compatibility with the reference CLI surface
+    # (cli_utils/training_utils.py:302-345):
+    parser.add_argument("--disable-tf-func", dest="disable_jit",
+                        action="store_true", default=False,
+                        help="Run without jit compilation (the reference's "
+                             "--disable-tf-func analog) for step debugging.")
+    parser.add_argument("--azure-info", type=str, default=None,
+                        help="Accepted for reference compatibility; azure:// "
+                             "data paths are not supported (data/io.py).")
+    parser.add_argument("--azureml_logging", action="store_true",
+                        default=False,
+                        help="Accepted for reference compatibility; metrics "
+                             "always stream to <run>_metrics.jsonl instead "
+                             "of AzureML.")
     return parser
 
 
