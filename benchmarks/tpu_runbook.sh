@@ -26,7 +26,13 @@ echo "== device-kernel equivalence (pair SpMM + attention twins) =="
 timeout 1800 python -m pytest \
     tests/test_pair_spmm.py tests/test_pair_attention.py -q \
     > "$OUT/10_kernel_equiv.log" 2>&1
+EQUIV_RC=$?
 tail -2 "$OUT/10_kernel_equiv.log"
+if [ "$EQUIV_RC" -ne 0 ]; then
+    echo "Kernel equivalence FAILED (rc=$EQUIV_RC) — benchmark numbers" \
+         "would be meaningless; aborting." | tee -a "$OUT/10_kernel_equiv.log"
+    exit 1
+fi
 
 echo "== pair kernel micro-bench (fwd/bwd/grad) =="
 timeout 1800 python benchmarks/pair_bench.py > "$OUT/20_pair_bench.log" 2>&1

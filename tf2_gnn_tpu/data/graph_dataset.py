@@ -294,11 +294,12 @@ class GraphDataset(ABC):
         graph_budget = int(max_graphs_per_batch * slack) + 2
         pair_kwargs = {}
         if use_pairs:
-            from ..ops.pair_spmm import GROUP
+            from ..ops.pair_spmm import BWD_GROUP, GROUP
 
             pair_kwargs = {
                 "pair_chunks_fwd": _round_up(int(max_pair_fwd * slack), GROUP),
-                "pair_chunks_bwd": _round_up(int(max_pair_bwd * slack), GROUP),
+                "pair_chunks_bwd": _round_up(int(max_pair_bwd * slack),
+                                             BWD_GROUP),
                 "pair_overflow": int(self._params.get("pair_overflow_budget",
                                                       2048)),
             }

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pair_spmm import BLK, E_C, plan_group
+from .pair_spmm import BLK, E_C, plan_group, slot_abs_ids
 
 TILE = 128
 NEG = -1e30
@@ -94,6 +94,12 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
     """Static check for the fused pair-attention path."""
     if num_heads <= 0 or hidden_dim % num_heads or TILE % num_heads:
         return False
+    # The kernels tile the K head columns up to ACC_W lanes
+    # (pltpu.repeat(e_k, ACC_W // k)) and the fused backward's augmented
+    # layout requires _expd_width(k) == ACC_W — more heads must fall back
+    # to the sorted-scatter path.
+    if num_heads > ACC_W:
+        return False
     if num_nodes % BLK or rows % BLK:
         return False
     t_item = jnp.dtype(table_dtype).itemsize
@@ -119,17 +125,8 @@ def _pad_cols(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
     return x
 
 
-def _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt):
-    """Absolute (src_row, tgt_row, valid) per slot of one plan direction."""
-    rel_s = jnp.asarray(rel_src).reshape(-1)
-    rel_t = jnp.asarray(rel_tgt).reshape(-1)
-    chunk = jnp.arange(rel_s.shape[0]) // E_C
-    group = plan_group(src_blk, grp_tgt)
-    srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(grp_tgt)[chunk // group] * BLK
-              + jnp.minimum(rel_t, BLK - 1))
-    valid = (rel_s < BLK) & (rel_t < BLK)
-    return srcabs, tgtabs, valid
+# Single shared decode of the plan layout (pair_spmm.slot_abs_ids).
+_slot_ids_jnp = slot_abs_ids
 
 
 def _slot_logits_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,

@@ -79,6 +79,22 @@ def plan_group(src_blk, grp_tgt) -> int:
     return src_blk.shape[0] // grp_tgt.shape[0]
 
 
+def slot_abs_ids(rel_src, rel_tgt, src_blk, grp_tgt):
+    """Absolute (src_row, tgt_row, valid) per kernel slot of one plan
+    direction — THE single decode of the plan layout (``srcabs =
+    src_blk[slot // E_C] * BLK + rel_src``, targets via the group's
+    ``grp_tgt``, sentinel ``rel >= BLK`` marks padded slots)."""
+    rel_s = jnp.asarray(rel_src).reshape(-1)
+    rel_t = jnp.asarray(rel_tgt).reshape(-1)
+    chunk = jnp.arange(rel_s.shape[0]) // E_C
+    group = plan_group(src_blk, grp_tgt)
+    srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
+    tgtabs = (jnp.asarray(grp_tgt)[chunk // group] * BLK
+              + jnp.minimum(rel_t, BLK - 1))
+    valid = (rel_s < BLK) & (rel_t < BLK)
+    return srcabs, tgtabs, valid
+
+
 class PairPlans(NamedTuple):
     """Forward + backward plans + overflow edges + per-slot 1/deg scales.
 
@@ -389,15 +405,7 @@ def pair_slot_abs_ids(plan_arrays, which: str):
     validity mask — used to gather per-edge normalisation scales."""
     plans = PairPlans.fromtuple(plan_arrays)
     p = plans.fwd if which == "fwd" else plans.bwd
-    rel_s = jnp.asarray(p.rel_src).reshape(-1)
-    rel_t = jnp.asarray(p.rel_tgt).reshape(-1)
-    chunk = jnp.arange(rel_s.shape[0]) // E_C
-    group = plan_group(p.src_blk, p.grp_tgt)
-    srcabs = jnp.asarray(p.src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(p.grp_tgt)[chunk // group] * BLK
-              + jnp.minimum(rel_t, BLK - 1))
-    valid = (rel_s < BLK) & (rel_t < BLK)
-    return srcabs, tgtabs, valid
+    return slot_abs_ids(*p)
 
 
 def measure_pair_chunks(
@@ -582,14 +590,7 @@ def _pair_spmm_jnp(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
                    out_rows: int):
     """Reference/CPU fallback with identical semantics (plan correctness is
     what CPU tests exercise; the Pallas kernel is equivalence-tested on TPU)."""
-    rel_s = jnp.asarray(rel_src).reshape(-1)
-    rel_t = jnp.asarray(rel_tgt).reshape(-1)
-    chunk = jnp.arange(rel_s.shape[0]) // E_C
-    group = plan_group(src_blk, grp_tgt)
-    srcabs = jnp.asarray(src_blk)[chunk] * BLK + jnp.minimum(rel_s, BLK - 1)
-    tgtabs = (jnp.asarray(grp_tgt)[chunk // group] * BLK
-              + jnp.minimum(rel_t, BLK - 1))
-    valid = ((rel_s < BLK) & (rel_t < BLK))
+    srcabs, tgtabs, valid = slot_abs_ids(rel_src, rel_tgt, src_blk, grp_tgt)
     msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
     msgs = msgs * (scale.reshape(-1) * valid)[:, None]
     seg = jnp.where(valid, tgtabs, out_rows)
