@@ -271,3 +271,32 @@ def test_train_parser_accepts_reference_compat_flags():
     assert args.disable_jit is True
     assert args.azure_info == "azure_auth.json"
     assert args.azureml_logging is True
+
+
+def test_test_model_accepts_param_overrides(tmp_path):
+    """tf2_gnn_tpu_test's --model/data-params-override flags reach
+    restore_dataset/restore_model_and_params (reference cli/test.py:50-61)."""
+    import json
+
+    from tf2_gnn_tpu.harness.run import (
+        get_train_cli_arg_parser,
+        run_train_from_args,
+        test_model,
+    )
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_jsonl_property_dataset(data_dir)
+    args = get_train_cli_arg_parser().parse_args(
+        ["RGCN", "GraphRegression", str(data_dir),
+         "--save-dir", str(tmp_path / "runs"), "--max-epochs", "1",
+         "--model-params-override",
+         json.dumps({"gnn_hidden_dim": 8, "gnn_num_layers": 2}),
+         "--data-params-override", json.dumps({"max_nodes_per_batch": 64})]
+    )
+    ckpt = run_train_from_args(args, {})
+    metric = test_model(
+        ckpt, data_dir,
+        data_params_override=json.dumps({"max_nodes_per_batch": 48}),
+    )
+    assert np.isfinite(metric)

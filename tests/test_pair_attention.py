@@ -270,3 +270,12 @@ def test_pair_attention_kernels_match_twins_on_tpu():
     for name, x, y in zip(("d_ss", "d_ts", "d_table"), d3, r3):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_pair_attention_applicable_rejects_many_heads():
+    """Head counts above ACC_W cannot ride the kernels' head-column tiling
+    and must fall back to the sorted-scatter path."""
+    assert pa.pair_attention_applicable(
+        1536, 512, 320, 16, jnp.bfloat16, jnp.bfloat16)
+    assert not pa.pair_attention_applicable(
+        1536, 512, 320, 32, jnp.bfloat16, jnp.bfloat16)

@@ -172,8 +172,11 @@ def restore_opt_state(checkpoint: Dict[str, Any], template_opt_state):
 def restore_model_and_params(
     checkpoint: Dict[str, Any],
     dataset: GraphDataset,
+    params_override: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Rebuild the (un-initialised) model object from checkpoint metadata."""
     model_params = dict(checkpoint["model_params"])
+    if params_override:
+        model_params.update(params_override)
     model = checkpoint["model_class"].from_params(model_params, dataset)
     return model, model_params

@@ -210,15 +210,19 @@ def run_train_from_args(
     return checkpoint_path
 
 
-def test_model(checkpoint_path, data_path, log: Callable[[str], None] = print) -> float:
+def test_model(checkpoint_path, data_path, log: Callable[[str], None] = print,
+               model_params_override=None, data_params_override=None) -> float:
     """Load a checkpoint and evaluate on the TEST fold
     (reference cli/test.py:12-36)."""
     import jax
 
     checkpoint = load_checkpoint_metadata(checkpoint_path)
-    dataset = restore_dataset(checkpoint)
+    dataset = restore_dataset(
+        checkpoint, parse_params_override(data_params_override))
     dataset.load_data(data_path, {DataFold.TEST})
-    model, model_params = restore_model_and_params(checkpoint, dataset)
+    model, model_params = restore_model_and_params(
+        checkpoint, dataset,
+        params_override=parse_params_override(model_params_override))
 
     example_batch, _ = next(dataset.batch_iterator(DataFold.TEST))
     variables = model.init(jax.random.PRNGKey(0), example_batch, False)
