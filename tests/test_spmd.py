@@ -70,10 +70,11 @@ def _model_params(task_cls, flavour, **extra):
     return {k: v for k, v in params.items() if not k.startswith("_")}
 
 
+@pytest.mark.parametrize("halo_form", ["dense", "ring"])
 @pytest.mark.parametrize(
     "flavour", ["rgcn", "ggnn", "rgat", "rgin", "gnn_edge_mlp", "gnn_film"]
 )
-def test_spmd_forward_matches_single_device(flavour):
+def test_spmd_forward_matches_single_device(flavour, halo_form):
     nf, adj, n2g, g = _giant_graph()
     params = _model_params(NodeMulticlassTask, flavour)
     model = NodeMulticlassTask.from_params(params)
@@ -84,7 +85,8 @@ def test_spmd_forward_matches_single_device(flavour):
 
     mesh = make_mesh(axis_name="nodes")
     sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
-                                 num_graphs_padded=4)
+                                 num_graphs_padded=4, halo=halo_form)
+    assert (sharded.halo_ring_send is not None) == (halo_form == "ring")
     fwd = make_spmd_forward(model, mesh)
     (spmd_logits,) = fwd(variables["params"], sharded)
     spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
@@ -94,6 +96,29 @@ def test_spmd_forward_matches_single_device(flavour):
         spmd_flat[: nf.shape[0]],
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_halo_form_heuristic_prefers_ring_for_local_graphs():
+    """Locality-sorted connectivity -> per-distance ppermute ring (only
+    neighbour distances active); scattered connectivity -> dense
+    all_to_all. Ring plans also move strictly fewer rows."""
+    rng = np.random.RandomState(11)
+    v = 96
+    nodes = np.arange(v)
+    local_src = np.clip(nodes.repeat(4) + rng.randint(-3, 4, v * 4), 0, v - 1)
+    local_tgt = np.clip(nodes.repeat(4) + rng.randint(-3, 4, v * 4), 0, v - 1)
+    local_adj = [np.stack([local_src, local_tgt], 1).astype(np.int32)]
+    nf = rng.randn(v, 6).astype(np.float32)
+    n2g = np.zeros((v,), np.int32)
+    ring, _ = partition_graph(nf, local_adj, n2g, 1, NUM_SHARDS)
+    assert ring.halo_ring_send is not None
+    # Only nearest-neighbour ring distances are active (ids within +-3).
+    assert set(ring.halo_ring_dists) <= {1, NUM_SHARDS - 1}
+
+    rand_adj = [np.stack([rng.randint(0, v, 400),
+                          rng.randint(0, v, 400)], 1).astype(np.int32)]
+    dense, _ = partition_graph(nf, rand_adj, n2g, 1, NUM_SHARDS)
+    assert dense.halo_send_idx is not None and dense.halo_ring_send is None
 
 
 def test_spmd_forward_with_global_exchange_and_layernorm():
@@ -373,7 +398,7 @@ def test_halo_plan_structure_and_bytes():
     n2g = np.sort(rng.randint(0, 3, num_nodes)).astype(np.int32)
     g = 3
     sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
-                                 num_graphs_padded=4)
+                                 num_graphs_padded=4, halo="dense")
     assert sharded.halo_send_idx is not None
     s_mesh, s_dest, max_send = sharded.halo_send_idx.shape
     assert s_mesh == s_dest == NUM_SHARDS
@@ -388,3 +413,13 @@ def test_halo_plan_structure_and_bytes():
     halo_bytes = NUM_SHARDS * max_send * d * 4
     allgather_bytes = NUM_SHARDS * vp * d * 4
     assert halo_bytes < allgather_bytes
+    # The auto heuristic picks the ring form here (local connectivity) and
+    # its per-DISTANCE padding moves strictly fewer rows than the dense
+    # per-pair padding.
+    ring, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                              num_graphs_padded=4)
+    assert ring.halo_ring_send is not None
+    ring_rows = sum(idx.shape[1] for idx in ring.halo_ring_send)
+    assert ring_rows < NUM_SHARDS * max_send
+    for idx in ring.halo_ring_send:
+        assert idx.shape[0] == NUM_SHARDS and idx.max() < vp

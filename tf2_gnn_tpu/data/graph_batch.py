@@ -106,6 +106,21 @@ class GraphBatch:
     halo_send_idx: Optional[jnp.ndarray] = None
     halo_ext_nodes: Optional[int] = struct.field(pytree_node=False,
                                                  default=None)
+    # Ring-halo variant (chosen by the partitioner when per-DISTANCE padding
+    # beats the dense all_to_all's per-pair padding — ring-local graphs):
+    # ``halo_ring_send[i]`` [S, m_i] lists the local rows each shard sends at
+    # ring distance ``halo_ring_dists[i]`` (one ppermute per active
+    # distance); the ext layout is [local | dist-d0 slab | dist-d1 slab ...].
+    halo_ring_send: Optional[Tuple[jnp.ndarray, ...]] = None
+    halo_ring_dists: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
+
+    @property
+    def halo_mode(self) -> bool:
+        """True when sources are EXT-LOCAL ids resolved by a per-layer
+        boundary exchange (dense all_to_all or ppermute ring)."""
+        return (self.halo_send_idx is not None
+                or self.halo_ring_send is not None)
 
     # ---- static shape accessors -------------------------------------------------
     @property
@@ -145,7 +160,7 @@ class GraphBatch:
         from ..ops.segment import gather_rows
 
         indices = self.edge_sources[edge_type]
-        if self.spmd_axis is not None and self.halo_send_idx is None:
+        if self.spmd_axis is not None and not self.halo_mode:
             table = jax.lax.all_gather(table, self.spmd_axis, axis=0, tiled=True)
         return gather_rows(table, indices)
 

@@ -191,7 +191,7 @@ class MessagePassing(nn.Module):
         layer ran its node-space transforms on halo-exchanged states) and
         the plans were built with ext-local sources — identity. Identity
         off-SPMD too."""
-        if batch.spmd_axis is None or batch.halo_send_idx is not None:
+        if batch.spmd_axis is None or batch.halo_mode:
             return tables_flat
         import jax as _jax
 
@@ -205,23 +205,39 @@ class MessagePassing(nn.Module):
     @staticmethod
     def _exchange_halo(node_states: jnp.ndarray,
                        batch: GraphBatch) -> jnp.ndarray:
-        """Boundary-only halo exchange (SURVEY §2.4 item 2): ONE all_to_all
-        of the host-planned boundary rows replaces the per-layer
-        all_gather — bytes scale with the boundary size, not V. Returns the
-        ext state table ``[local | shard-0 halo | ... | pad]`` that
+        """Boundary-only halo exchange (SURVEY §2.4 item 2): the
+        host-planned boundary rows replace the per-layer all_gather — bytes
+        scale with the boundary size, not V. Two wire forms, chosen by the
+        partitioner: a dense all_to_all (every (owner, consumer) pair
+        padded alike — right for scattered connectivity) or one ppermute
+        per ACTIVE ring distance (per-distance padding — right for
+        locality-sorted graphs, where only neighbour shards exchange).
+        Returns the ext state table ``[local | halo slabs | pad]`` that
         ext-local source ids index. The transpose (boundary-row gradients
         routed back to their owners and scatter-added) is the automatic AD
-        of gather + all_to_all + concat."""
+        of gather + collective + concat."""
         import jax as _jax
 
-        idx = batch.halo_send_idx          # [S, max_send] per shard
-        num_shards, max_send = idx.shape
-        send = jnp.take(node_states, idx.reshape(-1), axis=0,
-                        mode="clip").reshape(num_shards, max_send, -1)
-        recv = _jax.lax.all_to_all(send, batch.spmd_axis, 0, 0, tiled=False)
-        halo = recv.reshape(num_shards * max_send, -1)
-        pad = batch.halo_ext_nodes - batch.num_nodes_padded - halo.shape[0]
-        parts = [node_states, halo.astype(node_states.dtype)]
+        if batch.halo_ring_send is not None:
+            s = batch.spmd_num_shards
+            parts = [node_states]
+            for k, idx in zip(batch.halo_ring_dists, batch.halo_ring_send):
+                send = jnp.take(node_states, idx, axis=0, mode="clip")
+                recv = _jax.lax.ppermute(
+                    send, batch.spmd_axis,
+                    perm=[(i, (i + k) % s) for i in range(s)])
+                parts.append(recv.astype(node_states.dtype))
+        else:
+            idx = batch.halo_send_idx          # [S, max_send] per shard
+            num_shards, max_send = idx.shape
+            send = jnp.take(node_states, idx.reshape(-1), axis=0,
+                            mode="clip").reshape(num_shards, max_send, -1)
+            recv = _jax.lax.all_to_all(send, batch.spmd_axis, 0, 0,
+                                       tiled=False)
+            parts = [node_states,
+                     recv.reshape(num_shards * max_send,
+                                  -1).astype(node_states.dtype)]
+        pad = batch.halo_ext_nodes - sum(p.shape[0] for p in parts)
         if pad:
             parts.append(jnp.zeros((pad, node_states.shape[-1]),
                                    node_states.dtype))
@@ -232,7 +248,7 @@ class MessagePassing(nn.Module):
     def __call__(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool = False
     ) -> jnp.ndarray:
-        if batch.spmd_axis is not None and batch.halo_send_idx is not None:
+        if batch.spmd_axis is not None and batch.halo_mode:
             # Source-side transforms run over [local | halo] rows; the
             # aggregation/update side stays local-only.
             src_states = self._exchange_halo(node_states, batch)

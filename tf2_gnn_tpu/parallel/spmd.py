@@ -49,7 +49,7 @@ def partition_graph(
     graph_labels: Optional[Dict[str, np.ndarray]] = None,
     num_graphs_padded: Optional[int] = None,
     build_scatter_plans: bool = False,
-    halo: bool = True,
+    halo="auto",
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
 
@@ -58,14 +58,18 @@ def partition_graph(
     ``edge_targets`` become local to the target's owning shard, with padded
     slots -> the discard row.
 
-    With ``halo=True`` (default) the partitioner also plans the
-    boundary-only exchange: per (owner, consumer) pair it lists the rows the
-    consumer's edges actually reference, ``edge_sources`` are remapped to
-    EXT-LOCAL ids into ``[local | owner-0 halo | owner-1 halo | ...]``, and
-    every MP layer moves only those boundary rows over one ``all_to_all``
-    (bytes ~ boundary * D) instead of all_gathering the full node table
-    (bytes ~ S * V * D). ``halo=False`` keeps GLOBAL source ids + the
-    legacy per-layer all_gather.
+    With ``halo`` enabled (default ``"auto"``) the partitioner also plans
+    the boundary-only exchange: per (owner, consumer) pair it lists the
+    rows the consumer's edges actually reference, ``edge_sources`` are
+    remapped to EXT-LOCAL ids into per-slab halo rows, and every MP layer
+    moves only those boundary rows (bytes ~ boundary * D) instead of
+    all_gathering the full node table (bytes ~ S * V * D). Two wire forms,
+    chosen by byte count under ``"auto"`` (or forced with ``halo="dense"``
+    / ``halo="ring"``): a dense all_to_all padded per (owner, consumer)
+    pair, or one ppermute per active ring distance padded per DISTANCE —
+    the win for locality-sorted graphs, where only neighbouring shards
+    exchange. ``halo=False`` keeps GLOBAL source ids + the legacy
+    per-layer all_gather.
     """
     num_nodes = node_features.shape[0]
     if build_scatter_plans:
@@ -135,6 +139,8 @@ def partition_graph(
             num_edges[s, t] = count
 
     halo_send_idx = None
+    halo_ring_send = None
+    halo_ring_dists = None
     ext_nodes = None
     if halo:
         # Per (consumer, owner): the sorted unique global rows the consumer's
@@ -156,18 +162,55 @@ def partition_graph(
              for r in range(num_shards)] + [1]
         )
         max_send = _round_up(max_send, 8)
-        halo_rows = num_shards * max_send
-        ext_nodes = nodes_per_shard + _round_up(halo_rows, node_alignment)
-        # send list of OWNER r to DESTINATION d = needed[d][r] in r-local ids.
         pad_row = nodes_per_shard - 1
-        halo_send_idx = np.full((num_shards, num_shards, max_send), pad_row,
-                                dtype=np.int32)
-        for r in range(num_shards):
-            for d in range(num_shards):
-                rows = needed[d][r] - r * nodes_per_shard
-                halo_send_idx[r, d, :rows.shape[0]] = rows
+        # Two wire forms. The dense all_to_all pads EVERY (owner, consumer)
+        # pair to max_send (bytes ~ S * max_send even when only neighbour
+        # shards talk); the ring form runs one ppermute per ACTIVE distance
+        # k (owner r -> consumer (r+k) % S), padded per DISTANCE — for
+        # locality-sorted graphs only a couple of distances are non-empty.
+        # Pick whichever moves at most half the rows (ties -> dense: one
+        # collective beats several).
+        dist_sizes = []
+        for k in range(1, num_shards):
+            sizes = [needed[(r + k) % num_shards][r].shape[0]
+                     for r in range(num_shards)]
+            dist_sizes.append(_round_up(max(sizes), 8) if max(sizes) else 0)
+        ring_rows = sum(dist_sizes)
+        if halo in ("ring", "dense"):   # forced form (tests/benchmarks)
+            use_ring = halo == "ring"
+        else:
+            use_ring = 2 * ring_rows <= num_shards * max_send
+        if use_ring:
+            active = [(k, m) for k, m in
+                      zip(range(1, num_shards), dist_sizes) if m]
+            halo_ring_dists = tuple(k for k, _ in active)
+            ring_send = []
+            dist_base = {}
+            off = 0
+            for k, m in active:
+                idx = np.full((num_shards, m), pad_row, np.int32)
+                for r in range(num_shards):
+                    rows = needed[(r + k) % num_shards][r] - r * nodes_per_shard
+                    idx[r, :rows.shape[0]] = rows
+                ring_send.append(idx)
+                dist_base[k] = off
+                off += m
+            halo_ring_send = tuple(ring_send)
+            ext_nodes = nodes_per_shard + (
+                _round_up(off, node_alignment) if off else 0)
+        else:
+            halo_rows = num_shards * max_send
+            ext_nodes = nodes_per_shard + _round_up(halo_rows, node_alignment)
+            # send list of OWNER r to DESTINATION d = needed[d][r], r-local.
+            halo_send_idx = np.full((num_shards, num_shards, max_send),
+                                    pad_row, dtype=np.int32)
+            for r in range(num_shards):
+                for d in range(num_shards):
+                    rows = needed[d][r] - r * nodes_per_shard
+                    halo_send_idx[r, d, :rows.shape[0]] = rows
         # Remap sources to ext-local ids: halo slot of global row g (owner r)
-        # as seen by consumer s = Vp + r*max_send + position in needed[s][r].
+        # as seen by consumer s = Vp + slab base + position in needed[s][r],
+        # where the slab is the owner's (dense) or the ring distance's.
         for s in range(num_shards):
             lo = s * nodes_per_shard
             for t in range(num_types):
@@ -182,7 +225,9 @@ def partition_graph(
                     mask = owner == r
                     if mask.any():
                         pos = np.searchsorted(needed[s][r], g_[mask])
-                        ext[mask] = nodes_per_shard + r * max_send + pos
+                        base = (dist_base[(s - r) % num_shards] if use_ring
+                                else r * max_send)
+                        ext[mask] = nodes_per_shard + base + pos
                 col[:cnt] = ext
                 col[cnt:] = pad_row  # padded slots gather the local pad row
 
@@ -230,6 +275,8 @@ def partition_graph(
         in_degrees=in_degrees,
         halo_send_idx=halo_send_idx,
         halo_ext_nodes=ext_nodes,
+        halo_ring_send=halo_ring_send,
+        halo_ring_dists=halo_ring_dists,
     )
 
     labels: Dict[str, np.ndarray] = {}
