@@ -76,11 +76,16 @@ def model_one(kind, v, adjacency, s, compute_s, args):
     nf = np.zeros((v, 8), np.float32)
     n2g = np.zeros((v,), np.int32)
     batch, _ = partition_graph(
-        nf, adjacency, n2g, num_graphs=1, num_shards=s, halo=True)
-    max_send = int(batch.halo_send_idx.shape[-1])
+        nf, adjacency, n2g, num_graphs=1, num_shards=s)
+    if batch.halo_ring_send is not None:
+        form = "ring"
+        rows_moved = sum(idx.shape[1] for idx in batch.halo_ring_send)
+    else:
+        form = "dense"
+        rows_moved = s * int(batch.halo_send_idx.shape[-1])
     # Bytes one shard moves per MP layer (fwd states out + in; the
     # gradient transpose moves the same rows back in the backward).
-    send_bytes = s * max_send * args.hidden * args.itemsize
+    send_bytes = rows_moved * args.hidden * args.itemsize
     layer_exchange_s = 2 * send_bytes / (args.ici_gbps * 1e9)
     # Optimizer psum per STEP, amortised per layer.
     psum_s = 2 * args.param_bytes / (args.ici_gbps * 1e9) / args.layers
@@ -89,7 +94,8 @@ def model_one(kind, v, adjacency, s, compute_s, args):
         "graph": kind,
         "shards": s,
         "nodes": v,
-        "halo_rows_per_pair": max_send,
+        "halo_form": form,
+        "halo_rows_moved": rows_moved,
         "exchange_mb_per_layer": round(send_bytes / 1e6, 3),
         "compute_ms_per_layer": round(compute_s * 1e3, 3),
         "exchange_ms_per_layer": round(layer_exchange_s * 1e3, 3),
