@@ -348,3 +348,51 @@ def test_fused_path_with_empty_edge_type(tmp_path):
     assert np.all(np.isfinite(np.asarray(out_fused)))
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                rtol=1e-4, atol=1e-5)
+
+
+def _typed_pair_dataset(tmp_path):
+    write_jsonl_property_dataset(tmp_path)
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update(
+        {
+            "num_fwd_edge_types": 1,
+            "max_nodes_per_batch": 40,
+            "use_pair_spmm": True,
+            "pair_per_type": True,
+        }
+    )
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(tmp_path, {DataFold.VALIDATION})
+    return ds
+
+
+@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin", "gnn_film"])
+def test_per_type_pair_path_matches_standard(tmp_path, flavour):
+    """The row-split per-type pair plans (one [V]-row launch per edge type —
+    the form for graphs whose merged [L*V] tables exceed VMEM) are a pure
+    drop-in: same params, outputs, and gradients as the plain XLA path."""
+    ds = _typed_pair_dataset(tmp_path)
+    batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
+    assert batch_pair.pair_plans is None
+    assert batch_pair.pair_plans_typed is not None
+    assert len(batch_pair.pair_plans_typed) == batch_pair.num_edge_types
+    batch_plain = batch_pair.replace(pair_plans_typed=None)
+
+    hp = GNN.get_default_hyperparameters(flavour)
+    hp.update({"hidden_dim": 8, "num_layers": 2})
+    gnn = GNN.from_params(hp)
+    variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
+    out_plain, _ = gnn.apply(variables, batch_plain, False)
+    out_pair, _ = gnn.apply(variables, batch_pair, False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_pair),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(v, b):
+        out, _ = gnn.apply(v, b, False)
+        return (out * out).sum()
+
+    g_plain = jax.grad(loss)(variables, batch_plain)
+    g_pair = jax.grad(loss)(variables, batch_pair)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)

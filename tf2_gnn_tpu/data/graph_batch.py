@@ -36,6 +36,11 @@ class PaddingConfig:
     pair_chunks_fwd: Optional[int] = struct.field(pytree_node=False, default=None)
     pair_chunks_bwd: Optional[int] = struct.field(pytree_node=False, default=None)
     pair_overflow: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Per-TYPE (fwd, bwd) chunk budgets when the dataset builds one pair
+    # plan per edge type (``pair_per_type`` — large graphs whose merged
+    # [L*V] row space exceeds the kernels' VMEM residency budget).
+    pair_chunks_typed: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def num_edge_types(self) -> int:
@@ -85,6 +90,12 @@ class GraphBatch:
     # ``use_pair_spmm``; preferred over ``scatter_plans`` by the source-table
     # fused paths when the table fits VMEM.
     pair_plans: Optional[Tuple[jnp.ndarray, ...]] = None
+    # Per-TYPE pair plans (tuple of PairPlans.astuple() — one per edge type,
+    # each over the [V] single-type row space): the row-split form for
+    # graphs whose merged [L*V] tables exceed the kernels' VMEM residency
+    # budget (e.g. the QM9 config's 5 x 16k rows). The fused paths launch
+    # the kernel once per type and stack/sum the results.
+    pair_plans_typed: Optional[Tuple[Tuple[jnp.ndarray, ...], ...]] = None
     # Optional host-precomputed per-type in-degrees f32 [L, V]: exactly what
     # calculate_type_to_num_incoming_edges computes on device (including
     # padded-edge counts landing on the pad row), bincounted for free at

@@ -87,6 +87,12 @@ class GraphDataset(ABC):
             # into an XLA fallback term sized by 'pair_overflow_budget'.
             "use_pair_spmm": False,
             "pair_overflow_budget": 2048,
+            # Build ONE single-type pair plan per edge type over the [V]
+            # row space instead of one merged [L*V] plan — the row-split
+            # form for graphs whose merged tables exceed the kernels' VMEM
+            # residency budget (e.g. QM9's 5 types x 16k nodes). The fused
+            # paths then launch the kernel once per type.
+            "pair_per_type": False,
             # Build the pair plans with MERGED TARGETS (l * V + t): the kernel
             # then emits per-type aggregates [L*V, H] instead of the joint
             # [V, H] sum. Required by flavours whose target-side math
@@ -233,6 +239,8 @@ class GraphDataset(ABC):
         max_edges_per_graph = [0] * self.num_edge_types
         max_graphs_per_batch = 0
         max_pair_fwd, max_pair_bwd = 0, 0
+        pair_per_type = bool(self._params.get("pair_per_type"))
+        max_pair_typed = [[0, 0] for _ in range(self.num_edge_types)]
 
         for fold in self._loaded_folds():
             graphs = self._graphs_in_fold(fold)
@@ -273,14 +281,23 @@ class GraphDataset(ABC):
                         srcs.append(merged[:, 0])
                         tgts.append(merged[:, 1])
                         counts.append(merged.shape[0])
-                    f, b_ = measure_pair_chunks(
-                        srcs, tgts, counts, node_budget,
-                        merge_targets=bool(
-                            self._params.get("pair_merge_targets")
-                        ),
-                    )
-                    max_pair_fwd = max(max_pair_fwd, f)
-                    max_pair_bwd = max(max_pair_bwd, b_)
+                    if pair_per_type:
+                        for t in range(self.num_edge_types):
+                            f, b_ = measure_pair_chunks(
+                                [srcs[t]], [tgts[t]], [counts[t]],
+                                node_budget,
+                            )
+                            max_pair_typed[t][0] = max(max_pair_typed[t][0], f)
+                            max_pair_typed[t][1] = max(max_pair_typed[t][1], b_)
+                    else:
+                        f, b_ = measure_pair_chunks(
+                            srcs, tgts, counts, node_budget,
+                            merge_targets=bool(
+                                self._params.get("pair_merge_targets")
+                            ),
+                        )
+                        max_pair_fwd = max(max_pair_fwd, f)
+                        max_pair_bwd = max(max_pair_bwd, b_)
 
         if max_graphs_per_batch == 0:
             raise ValueError("Cannot derive padding config: no data loaded.")
@@ -297,12 +314,20 @@ class GraphDataset(ABC):
             from ..ops.pair_spmm import BWD_GROUP, GROUP
 
             pair_kwargs = {
-                "pair_chunks_fwd": _round_up(int(max_pair_fwd * slack), GROUP),
-                "pair_chunks_bwd": _round_up(int(max_pair_bwd * slack),
-                                             BWD_GROUP),
                 "pair_overflow": int(self._params.get("pair_overflow_budget",
                                                       2048)),
             }
+            if pair_per_type:
+                pair_kwargs["pair_chunks_typed"] = tuple(
+                    (_round_up(int(f * slack), GROUP),
+                     _round_up(int(b * slack), BWD_GROUP))
+                    for f, b in max_pair_typed
+                )
+            else:
+                pair_kwargs["pair_chunks_fwd"] = _round_up(
+                    int(max_pair_fwd * slack), GROUP)
+                pair_kwargs["pair_chunks_bwd"] = _round_up(
+                    int(max_pair_bwd * slack), BWD_GROUP)
         return PaddingConfig(
             num_nodes=node_budget,
             num_graphs=graph_budget,
@@ -361,17 +386,32 @@ class GraphDataset(ABC):
             ).astuple()
 
         pair_plans = None
+        pair_plans_typed = None
         pair_targets_merged = bool(self._params.get("pair_merge_targets"))
         if self._params.get("use_pair_spmm"):
             from ..ops.pair_spmm import build_pair_plans
 
-            pair_plans = build_pair_plans(
-                sources, targets, real_counts, v_pad,
-                chunk_budget_fwd=config.pair_chunks_fwd,
-                chunk_budget_bwd=config.pair_chunks_bwd,
-                overflow_budget=config.pair_overflow or 2048,
-                merge_targets=pair_targets_merged,
-            ).astuple()
+            if config.pair_chunks_typed is not None:
+                # Row-split form: one single-type plan per edge type over
+                # the [V] row space (merged [L*V] tables would not fit the
+                # kernels' VMEM residency budget at this scale).
+                pair_plans_typed = tuple(
+                    build_pair_plans(
+                        [sources[t]], [targets[t]], [real_counts[t]], v_pad,
+                        chunk_budget_fwd=config.pair_chunks_typed[t][0],
+                        chunk_budget_bwd=config.pair_chunks_typed[t][1],
+                        overflow_budget=config.pair_overflow or 2048,
+                    ).astuple()
+                    for t in range(self.num_edge_types)
+                )
+            else:
+                pair_plans = build_pair_plans(
+                    sources, targets, real_counts, v_pad,
+                    chunk_budget_fwd=config.pair_chunks_fwd,
+                    chunk_budget_bwd=config.pair_chunks_bwd,
+                    overflow_budget=config.pair_overflow or 2048,
+                    merge_targets=pair_targets_merged,
+                ).astuple()
 
         from .graph_batch import host_in_degrees
 
@@ -386,6 +426,7 @@ class GraphDataset(ABC):
             num_graphs_padded=config.num_graphs,
             scatter_plans=scatter_plans,
             pair_plans=pair_plans,
+            pair_plans_typed=pair_plans_typed,
             pair_targets_merged=pair_targets_merged and pair_plans is not None,
             in_degrees=host_in_degrees(targets, v_pad),
         )

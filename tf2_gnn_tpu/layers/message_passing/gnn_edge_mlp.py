@@ -129,7 +129,8 @@ class GNN_Edge_MLP(MessagePassing):
 
     def _fused_plan_applicable(self, batch: GraphBatch) -> bool:
         return not (
-            (batch.scatter_plans is None and batch.pair_plans is None)
+            (batch.scatter_plans is None and batch.pair_plans is None
+             and batch.pair_plans_typed is None)
             or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or (self._apply_message_activation
@@ -150,11 +151,14 @@ class GNN_Edge_MLP(MessagePassing):
         twice in one trace, so fallback decisions must precede creation)."""
         from ...ops.pair_spmm import pair_kernel_applicable
 
-        return (
-            batch.pair_plans is not None
-            and batch.spmd_axis is None
-            and pair_kernel_applicable(rows, dtype)
-        )
+        if batch.spmd_axis is not None:
+            return False
+        if batch.pair_plans is not None:
+            return pair_kernel_applicable(rows, dtype)
+        # Per-type plans: each launch's resident table is ONE type's [V]
+        # rows, regardless of the stacked table's total row count.
+        return (batch.pair_plans_typed is not None
+                and pair_kernel_applicable(batch.num_nodes_padded, dtype))
 
     def _pair_kernel_out(self, tables: jnp.ndarray, batch: GraphBatch,
                          normalize: bool) -> jnp.ndarray:
@@ -166,10 +170,25 @@ class GNN_Edge_MLP(MessagePassing):
         ~3.5 ms/step on the PPI bench.
 
         Output is the joint [V, H] sum, or the per-type [L*V, H] aggregates
-        when the batch's plans were built with merged targets."""
+        when the batch's plans were built with merged targets (or are
+        per-type plans, which produce per-type aggregates natively)."""
         from ...ops.pair_spmm import pair_typed_gather_scatter, pair_unit_scales
 
         v = batch.num_nodes_padded
+        if batch.pair_plans is None:
+            # Row-split form: one single-type launch per edge type (each
+            # resident table is [V] rows); the stacked result is the
+            # per-type aggregate array [L*V, H].
+            tables_t = tables.reshape(batch.num_edge_types, v, -1)
+            outs = []
+            for t, plans in enumerate(batch.pair_plans_typed):
+                if normalize:
+                    sf, sb, so = plans[10], plans[11], plans[12]
+                else:
+                    sf, sb, so = pair_unit_scales(plans, v)
+                outs.append(pair_typed_gather_scatter(
+                    tables_t[t], sf, sb, so, *plans[:10], v))
+            return jnp.concatenate(outs, axis=0)
         out_rows = (batch.num_edge_types * v if batch.pair_targets_merged
                     else v)
         plans = batch.pair_plans
@@ -183,10 +202,11 @@ class GNN_Edge_MLP(MessagePassing):
 
     def _pair_sum_aggregate(self, tables: jnp.ndarray, batch: GraphBatch):
         """Joint [V, H] sum over all types via the pair kernel (reducing the
-        type axis afterwards when the plans carry merged targets)."""
+        type axis afterwards when the output is per-type — merged-target or
+        per-type plans)."""
         out = self._pair_kernel_out(tables, batch,
                                     self.normalize_by_num_incoming)
-        if batch.pair_targets_merged:
+        if batch.pair_targets_merged or batch.pair_plans is None:
             v = batch.num_nodes_padded
             out = out.reshape(batch.num_edge_types, v, -1).sum(axis=0)
         return out
@@ -219,9 +239,12 @@ class GNN_Edge_MLP(MessagePassing):
         stream_dtype = jnp.dtype(
             self.edge_dtype if self.edge_dtype != "float32" else jnp.float32
         )
-        if not (batch.pair_targets_merged
-                and self._pair_path_applicable_static(
-                    batch, num_types * v, stream_dtype)):
+        # Merged-target plans and per-type plans both yield per-type
+        # aggregates; either satisfies the factorised paths.
+        per_type_out = (batch.pair_targets_merged
+                        or batch.pair_plans_typed is not None)
+        if not (per_type_out and self._pair_path_applicable_static(
+                batch, num_types * v, stream_dtype)):
             return None
 
         if not self.use_target_state_as_input:
