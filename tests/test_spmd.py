@@ -166,8 +166,10 @@ def test_spmd_graph_regression_readout_matches():
                                atol=2e-5)
 
 
-def test_spmd_train_step_matches_single_device():
-    """One SGD step on the partitioned graph == one step on the full graph."""
+@pytest.mark.parametrize("halo_form", ["dense", "ring"])
+def test_spmd_train_step_matches_single_device(halo_form):
+    """One SGD step on the partitioned graph == one step on the full graph
+    (gradients flow back through whichever halo collective is in use)."""
     nf, adj, n2g, g = _giant_graph(seed=7)
     labels_np = (np.random.RandomState(1).rand(nf.shape[0], 121) > 0.9).astype(
         np.float32
@@ -192,7 +194,7 @@ def test_spmd_train_step_matches_single_device():
     mesh = make_mesh(axis_name="nodes")
     sharded, sharded_labels = partition_graph(
         nf, adj, n2g, g, NUM_SHARDS, num_graphs_padded=4,
-        node_labels={"node_labels": labels_np},
+        node_labels={"node_labels": labels_np}, halo=halo_form,
     )
     state_b = create_train_state(model, single, optimizer, seed=0)
     spmd_step = make_spmd_train_step(model, optimizer, mesh)
