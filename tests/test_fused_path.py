@@ -366,7 +366,8 @@ def _typed_pair_dataset(tmp_path):
     return ds
 
 
-@pytest.mark.parametrize("flavour", ["rgcn", "ggnn", "rgin", "gnn_film"])
+@pytest.mark.parametrize("flavour",
+                         ["rgcn", "ggnn", "rgin", "gnn_film", "rgat"])
 def test_per_type_pair_path_matches_standard(tmp_path, flavour):
     """The row-split per-type pair plans (one [V]-row launch per edge type —
     the form for graphs whose merged [L*V] tables exceed VMEM) are a pure
@@ -380,6 +381,8 @@ def test_per_type_pair_path_matches_standard(tmp_path, flavour):
 
     hp = GNN.get_default_hyperparameters(flavour)
     hp.update({"hidden_dim": 8, "num_layers": 2})
+    if flavour == "rgat":
+        hp["num_heads"] = 4
     gnn = GNN.from_params(hp)
     variables = gnn.init(jax.random.PRNGKey(0), batch_plain, False)
     out_plain, _ = gnn.apply(variables, batch_plain, False)

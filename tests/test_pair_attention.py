@@ -279,3 +279,47 @@ def test_pair_attention_applicable_rejects_many_heads():
         1536, 512, 320, 16, jnp.bfloat16, jnp.bfloat16)
     assert not pa.pair_attention_applicable(
         1536, 512, 320, 32, jnp.bfloat16, jnp.bfloat16)
+
+
+def test_pair_attention_typed_matches_dense_reference():
+    """The per-type (row-split) primitive reproduces the joint softmax of
+    the merged form: per-type launches share one joint stabiliser."""
+    rng = np.random.RandomState(9)
+    v, num_types, k, head_dim = 256, 3, 4, 8
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    rows = num_types * v
+    table = rng.randn(rows, head_dim * k).astype(np.float32)
+    scores = (0.5 * rng.randn(rows, 2 * k)).astype(np.float32)
+    src_rows, tgt_nodes = _edge_arrays(srcs, tgts, counts, v)
+    plans_typed = tuple(
+        ps.build_pair_plans([srcs[l]], [tgts[l]], [counts[l]], v).astuple()
+        for l in range(num_types)
+    )
+    denom, weighted = pa.pair_attention_typed(
+        jnp.asarray(table), jnp.asarray(scores), plans_typed, v, k)
+    denom_ref, weighted_ref = _dense_reference(
+        table, scores, src_rows, tgt_nodes, v, k)
+    np.testing.assert_allclose(np.asarray(denom), denom_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(weighted), weighted_ref,
+                               rtol=1e-4, atol=1e-4)
+    # Gradients match the merged-form primitive on the same inputs.
+    merged = ps.build_pair_plans(srcs, tgts, counts, v)
+    cot_d = jnp.asarray(rng.randn(v, k).astype(np.float32))
+    cot_w = jnp.asarray(rng.randn(v, head_dim * k).astype(np.float32))
+
+    def via_typed(t, s):
+        d, w = pa.pair_attention_typed(t, s, plans_typed, v, k)
+        return jnp.vdot(d, cot_d) + jnp.vdot(w, cot_w)
+
+    def via_merged(t, s):
+        d, w = pa.pair_attention(t, s, *merged.kernel_arrays, v, k)
+        return jnp.vdot(d, cot_d) + jnp.vdot(w, cot_w)
+
+    g_t = jax.grad(via_typed, argnums=(0, 1))(jnp.asarray(table),
+                                              jnp.asarray(scores))
+    g_m = jax.grad(via_merged, argnums=(0, 1))(jnp.asarray(table),
+                                               jnp.asarray(scores))
+    for a, b in zip(g_t, g_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

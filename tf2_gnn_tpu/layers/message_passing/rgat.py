@@ -50,15 +50,19 @@ class RGAT(MessagePassing):
         any module creation (flax NameInUseError on re-creation)."""
         from ...ops.pair_attention import pair_attention_applicable
 
-        if (batch.pair_plans is None or batch.pair_targets_merged
-                or batch.spmd_axis is not None):
+        if batch.pair_targets_merged or batch.spmd_axis is not None:
+            return False
+        if batch.pair_plans is None and batch.pair_plans_typed is None:
             return False
         stream_dtype = jnp.dtype(
             self.edge_dtype if self.edge_dtype != "float32" else jnp.float32
         )
         k_pad = self._padded_heads()
         head_dim = self.hidden_dim // self.num_heads
-        rows = batch.num_edge_types * batch.num_nodes_padded
+        # Per-type (row-split) plans launch one type at a time, so each
+        # launch's residency is one [V]-row slab.
+        rows = (batch.num_nodes_padded if batch.pair_plans is None
+                else batch.num_edge_types * batch.num_nodes_padded)
         return pair_attention_applicable(
             rows, batch.num_nodes_padded, head_dim * k_pad, k_pad,
             stream_dtype, stream_dtype,
@@ -70,7 +74,11 @@ class RGAT(MessagePassing):
         sums all run on the chunk structure — no per-edge XLA gathers at
         all. Heads are padded to a TILE divisor with neutral scores
         (source half 0, target half NEG => expd exactly 0)."""
-        from ...ops.pair_attention import NEG, pair_attention
+        from ...ops.pair_attention import (
+            NEG,
+            pair_attention,
+            pair_attention_typed,
+        )
         from ...utils.constants import SMALL_NUMBER
 
         num_types = batch.num_edge_types
@@ -116,9 +124,16 @@ class RGAT(MessagePassing):
             table_hk = table_hk.astype(self.edge_dtype)
             scores = scores.astype(self.edge_dtype)
 
-        denom, weighted = pair_attention(
-            table_hk, scores, *batch.pair_plans[:10], v, k_pad
-        )
+        if batch.pair_plans is not None:
+            denom, weighted = pair_attention(
+                table_hk, scores, *batch.pair_plans[:10], v, k_pad
+            )
+        else:
+            # Row-split form: one single-type launch per edge type (the
+            # joint softmax stabiliser spans all launches).
+            denom, weighted = pair_attention_typed(
+                table_hk, scores, batch.pair_plans_typed, v, k_pad
+            )
         weighted = weighted / (jnp.tile(denom, (1, head_dim)) + SMALL_NUMBER)
         # Drop pad heads and restore the reference's concat-head layout.
         out = weighted.reshape(v, head_dim, k_pad)[:, :, :heads]
@@ -133,7 +148,8 @@ class RGAT(MessagePassing):
         exp-weighted message sums in a single pass. Preferred: the fully
         gather-free pair-attention path (_pair_attention_aggregate)."""
         if (
-            (batch.scatter_plans is None and batch.pair_plans is None)
+            (batch.scatter_plans is None and batch.pair_plans is None
+             and batch.pair_plans_typed is None)
             or (batch.spmd_axis is not None and batch.spmd_num_shards is None)
             or self.aggregation_function != "sum"
             or self.message_activation_before_aggregation

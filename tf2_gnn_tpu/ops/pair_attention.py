@@ -791,33 +791,38 @@ def pair_attention(
     return denom, weighted
 
 
-def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
-                              src_blk_f, grp_tgt_f, ovf_src, ovf_tgt,
-                              num_nodes: int, num_heads: int):
-    v = num_nodes
-    k = num_heads
-    head_dim = table_hk.shape[1] // k
-    m_k = pair_attention_max(scores, rel_src_f, rel_tgt_f, src_blk_f,
-                             grp_tgt_f, v, k)
-    p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
+def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int):
+    """Raw per-(target, head) max of ONE launch — kernel slots + its
+    overflow edges ([V, K] f32, NEG on empty targets)."""
+    m_k = pair_attention_max(scores, *fwd_plan, v, k)
+    _, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     m_o = jax.ops.segment_max(
         jnp.where(valid_o[:, None], l_o, NEG), seg_o, num_segments=v + 1
     )[:v]
-    m = jnp.maximum(m_k, jnp.maximum(m_o, NEG))
-    # Targets with no in-edges keep a finite stabiliser so exp() stays 0.
-    # The stabiliser is rounded to the STREAM dtype: the backward kernel
-    # reads it through its bundled (stream-dtype) cotangent gather, and a
-    # softmax stabiliser only has to be consistent between forward and
-    # backward, not exact (shift invariance).
+    return jnp.maximum(m_k, jnp.maximum(m_o, NEG))
+
+
+def _stabilise(m, stream_dtype):
+    """Finite softmax stabiliser rounded to the STREAM dtype: the backward
+    kernel reads it through its bundled (stream-dtype) cotangent gather, and
+    a stabiliser only has to be consistent between forward and backward,
+    not exact (shift invariance). Targets with no in-edges keep a finite
+    value so exp() stays 0."""
     m_safe = jax.lax.stop_gradient(jnp.where(m > 0.5 * NEG, m, 0.0))
-    m_safe = m_safe.astype(table_hk.dtype).astype(jnp.float32)
+    return m_safe.astype(stream_dtype).astype(jnp.float32)
 
+
+def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
+                 v: int, k: int):
+    """(denom, weighted, expd_o, slope_o) of one launch under a GIVEN
+    stabiliser (which may span several launches — the per-type form)."""
+    head_dim = table.shape[1] // k
     denom, weighted = pair_attention_agg(
-        table_hk, scores, m_safe, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        v, k,
+        table, scores, m_safe, *fwd_plan, v, k,
     )
-
+    p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
+    seg_o = jnp.where(valid_o, ovf_tgt, v)
     expd_o = jnp.where(
         valid_o[:, None],
         jnp.exp(l_o - jnp.take(m_safe, jnp.minimum(ovf_tgt, v - 1),
@@ -825,13 +830,54 @@ def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
         0.0,
     )
     slope_o = jnp.where(p_o >= 0, 1.0, LEAKY_SLOPE)
-    msgs_o = jnp.take(table_hk, ovf_src, axis=0,
+    msgs_o = jnp.take(table, ovf_src, axis=0,
                       mode="clip").astype(jnp.float32)
     denom = denom + jax.ops.segment_sum(
         expd_o, seg_o, num_segments=v + 1)[:v]
     weighted = weighted + jax.ops.segment_sum(
         msgs_o * jnp.tile(expd_o, (1, head_dim)), seg_o,
         num_segments=v + 1)[:v]
+    return denom, weighted, expd_o, slope_o
+
+
+def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
+                bwd_plan, ovf_src, ovf_tgt, expd_o, slope_o, v: int, k: int):
+    """(d_src_scores, d_tgt_scores, d_table) of one launch — the fused
+    backward kernel plus its overflow terms."""
+    rows = table.shape[0]
+    head_dim = table.shape[1] // k
+    d_ss, d_ts, d_table = pair_attention_bwd_fused(
+        table, dw_stream, d_denom, scores, m_safe, *bwd_plan, v, k,
+    )
+    valid_o = ovf_tgt < v
+    tgt_o = jnp.minimum(ovf_tgt, v - 1)
+    dwg_o = jnp.take(d_weighted, tgt_o, axis=0) * valid_o[:, None]
+    ddg_o = jnp.take(d_denom, tgt_o, axis=0) * valid_o[:, None]
+    msgs_o = jnp.take(table, ovf_src, axis=0,
+                      mode="clip").astype(jnp.float32)
+    de_o = ((msgs_o * dwg_o).reshape(-1, head_dim, k).sum(axis=1) + ddg_o)
+    d_p_o = expd_o * slope_o * de_o
+    d_table = d_table + jax.ops.segment_sum(
+        dwg_o * jnp.tile(expd_o, (1, head_dim)), ovf_src,
+        num_segments=rows)
+    d_ss = d_ss + jax.ops.segment_sum(d_p_o, ovf_src, num_segments=rows)
+    ltype_o = ovf_src // v
+    d_ts = d_ts + jax.ops.segment_sum(
+        d_p_o, jnp.where(valid_o, ltype_o * v + tgt_o, rows),
+        num_segments=rows + 1)[:rows]
+    return d_ss, d_ts, d_table
+
+
+def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
+                              src_blk_f, grp_tgt_f, ovf_src, ovf_tgt,
+                              num_nodes: int, num_heads: int):
+    v = num_nodes
+    k = num_heads
+    fwd_plan = (rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f)
+    m = _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v, k)
+    m_safe = _stabilise(m, table_hk.dtype)
+    denom, weighted, expd_o, slope_o = _launch_sums(
+        table_hk, scores, m_safe, fwd_plan, ovf_src, ovf_tgt, v, k)
     return denom, weighted, (m_safe, expd_o, slope_o)
 
 
@@ -857,39 +903,90 @@ def _pa_bwd(num_nodes, num_heads, res, g):
     # Cotangents stream at the table dtype through the wide kernels (bf16 in
     # the shipped config — same contract as the forward message stream).
     dw_stream = d_weighted.astype(table_hk.dtype)
-    v = num_nodes
-    k = num_heads
-    rows = table_hk.shape[0]
-    head_dim = table_hk.shape[1] // k
-
-    # All three gradients from ONE grouped pass over the backward plan;
-    # expd/slope are recomputed inside it from the bundled score gathers
-    # (no backward expd stream through HBM).
-    d_ss, d_ts, d_table = pair_attention_bwd_fused(
-        table_hk, dw_stream, d_denom, scores, m_safe,
-        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, v, k,
+    d_ss, d_ts, d_table = _launch_bwd(
+        table_hk, scores, m_safe, d_denom, d_weighted, dw_stream,
+        (rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b), ovf_src, ovf_tgt,
+        expd_o, slope_o, num_nodes, num_heads,
     )
-
-    # Overflow-edge contributions (tiny XLA gathers/scatters).
-    valid_o = ovf_tgt < v
-    tgt_o = jnp.minimum(ovf_tgt, v - 1)
-    dwg_o = jnp.take(d_weighted, tgt_o, axis=0) * valid_o[:, None]
-    ddg_o = jnp.take(d_denom, tgt_o, axis=0) * valid_o[:, None]
-    msgs_o = jnp.take(table_hk, ovf_src, axis=0,
-                      mode="clip").astype(jnp.float32)
-    de_o = ((msgs_o * dwg_o).reshape(-1, head_dim, k).sum(axis=1) + ddg_o)
-    d_p_o = expd_o * slope_o * de_o
-    d_table = d_table + jax.ops.segment_sum(
-        dwg_o * jnp.tile(expd_o, (1, head_dim)), ovf_src,
-        num_segments=rows)
-    d_ss = d_ss + jax.ops.segment_sum(d_p_o, ovf_src, num_segments=rows)
-    ltype_o = ovf_src // v
-    d_ts = d_ts + jax.ops.segment_sum(
-        d_p_o, jnp.where(valid_o, ltype_o * v + tgt_o, rows),
-        num_segments=rows + 1)[:rows]
-
     d_scores = jnp.concatenate([d_ss, d_ts], axis=1).astype(scores.dtype)
     return (d_table.astype(table_hk.dtype), d_scores) + (None,) * 10
 
 
 pair_attention.defvjp(_pa_fwd, _pa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# The per-type (row-split) attention primitive: one launch per edge type
+# over the [V] single-type row space, with the softmax max/denominator still
+# spanning ALL types jointly (the stabiliser is the elementwise max of the
+# per-type maxes — reference rgat.py:139-151's joint segment softmax).
+# For graphs whose merged [L*V] tables exceed the kernels' VMEM residency.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pair_attention_typed(
+    table_hk: jnp.ndarray,      # [L*V, H] transformed states, HK-MAJOR heads
+    scores: jnp.ndarray,        # [L*V, 2K] packed score halves
+    plans_typed,                # tuple of per-type PairPlans.astuple()
+    num_nodes: int,
+    num_heads: int,
+):
+    """``pair_attention`` semantics over PER-TYPE plans (row-split form)."""
+    denom, weighted, _ = _pat_fwd_parts(
+        table_hk, scores, plans_typed, num_nodes, num_heads)
+    return denom, weighted
+
+
+def _pat_fwd_parts(table_hk, scores, plans_typed, v, k):
+    num_types = len(plans_typed)
+    tables = table_hk.reshape(num_types, v, -1)
+    sc = scores.reshape(num_types, v, -1)
+    m = jnp.full((v, k), NEG, jnp.float32)
+    for l, plans in enumerate(plans_typed):
+        m = jnp.maximum(
+            m, _launch_max(sc[l], plans[:4], plans[8], plans[9], v, k))
+    m_safe = _stabilise(m, table_hk.dtype)
+    denom = jnp.zeros((v, k), jnp.float32)
+    weighted = jnp.zeros((v, table_hk.shape[1]), jnp.float32)
+    saved_o = []
+    for l, plans in enumerate(plans_typed):
+        d, w, eo, so = _launch_sums(
+            tables[l], sc[l], m_safe, plans[:4], plans[8], plans[9], v, k)
+        denom = denom + d
+        weighted = weighted + w
+        saved_o.append((eo, so))
+    return denom, weighted, (m_safe, tuple(saved_o))
+
+
+def _pat_fwd(table_hk, scores, plans_typed, num_nodes, num_heads):
+    denom, weighted, saved = _pat_fwd_parts(
+        table_hk, scores, plans_typed, num_nodes, num_heads)
+    m_safe, saved_o = saved
+    return (denom, weighted), (table_hk, scores, plans_typed, m_safe, saved_o)
+
+
+def _pat_bwd(num_nodes, num_heads, res, g):
+    table_hk, scores, plans_typed, m_safe, saved_o = res
+    d_denom, d_weighted = g
+    d_denom = d_denom.astype(jnp.float32)
+    d_weighted = d_weighted.astype(jnp.float32)
+    dw_stream = d_weighted.astype(table_hk.dtype)
+    v = num_nodes
+    num_types = len(plans_typed)
+    tables = table_hk.reshape(num_types, v, -1)
+    sc = scores.reshape(num_types, v, -1)
+    d_tables, d_scores = [], []
+    for l, plans in enumerate(plans_typed):
+        eo, so = saved_o[l]
+        d_ss, d_ts, d_tab = _launch_bwd(
+            tables[l], sc[l], m_safe, d_denom, d_weighted, dw_stream,
+            plans[4:8], plans[8], plans[9], eo, so, v, num_heads,
+        )
+        d_tables.append(d_tab)
+        d_scores.append(jnp.concatenate([d_ss, d_ts], axis=1))
+    d_table = jnp.concatenate(d_tables, axis=0).astype(table_hk.dtype)
+    d_sc = jnp.concatenate(d_scores, axis=0).astype(scores.dtype)
+    return d_table, d_sc, None
+
+
+pair_attention_typed.defvjp(_pat_fwd, _pat_bwd)
