@@ -425,3 +425,32 @@ def test_halo_plan_structure_and_bytes():
     assert ring_rows < NUM_SHARDS * max_send
     for idx in ring.halo_ring_send:
         assert idx.shape[0] == NUM_SHARDS and idx.max() < vp
+
+
+def test_zero_boundary_partition_emits_no_halo_collective():
+    """Edges that never cross shard boundaries (e.g. whole graphs per
+    shard) plan an EMPTY ring — no collective at all — and still match the
+    single-device forward."""
+    rng = np.random.RandomState(13)
+    v = 96
+    nodes = np.arange(v)
+    # Self-loop-only connectivity: strictly shard-local for any sharding.
+    adj = [np.stack([nodes, nodes], 1).astype(np.int32)]
+    nf = rng.randn(v, 6).astype(np.float32)
+    n2g = np.zeros((v,), np.int32)
+    sharded, _ = partition_graph(nf, adj, n2g, 1, NUM_SHARDS,
+                                 num_graphs_padded=2)
+    assert sharded.halo_ring_send is not None
+    assert sharded.halo_ring_dists == ()
+
+    params = _model_params(NodeMulticlassTask, "rgcn")
+    model = NodeMulticlassTask.from_params(params)
+    single = _single_device_batch(nf, adj, n2g, 1, num_graphs_padded=2)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+    mesh = make_mesh(axis_name="nodes")
+    (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
+                                                    sharded)
+    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    np.testing.assert_allclose(np.asarray(ref_logits)[:v], spmd_flat[:v],
+                               rtol=2e-4, atol=2e-5)
