@@ -187,4 +187,114 @@ int64_t gp_scatter_plan(const int32_t* sorted_vals, const int32_t* order,
   return chunk + 1;
 }
 
+// ---------------------------------------------------------------------------
+// Block-pair plan for one direction (tf2_gnn_tpu/ops/pair_spmm.py
+// ``_plan_one_direction``'s no-spill fast path). Edges are stable-counting-
+// sorted by (tgt_block, src_block); each (tgt_block, src_block) pair's
+// edges fill consecutive E_C-slot chunks; runs of equal tgt_block start at
+// group-aligned chunk indices; padding chunks inherit the previous real
+// chunk's blocks (tgt non-decreasing) so downstream revisit logic sees
+// them as zero-contribution revisits. Exactly matches the numpy planner's
+// layout (same stable order), which remains the spill fallback.
+//
+// rel_src/rel_tgt sized budget*e_c (filled with the blk sentinel here),
+// src_blk/tgt_blk sized budget, edge_slot sized n (-1 never written here).
+// Returns chunks used, or -1 when the budget would overflow (caller falls
+// back to the numpy spill path).
+int64_t gp_pair_plan(const int32_t* src, const int32_t* tgt, int64_t n,
+                     int64_t budget, int64_t group, int64_t blk, int64_t e_c,
+                     int32_t* rel_src, int32_t* rel_tgt, int32_t* src_blk,
+                     int32_t* tgt_blk, int64_t* edge_slot) {
+  std::fill(rel_src, rel_src + budget * e_c, static_cast<int32_t>(blk));
+  std::fill(rel_tgt, rel_tgt + budget * e_c, static_cast<int32_t>(blk));
+  std::fill(src_blk, src_blk + budget, 0);
+  std::fill(tgt_blk, tgt_blk + budget, 0);
+  std::fill(edge_slot, edge_slot + n, static_cast<int64_t>(-1));
+  if (n == 0) return 0;
+
+  // blk is a power of two in practice (BLOCK_NODES=128) — shift instead of
+  // dividing per edge (runtime int division costs ~10 ms alone at 211k
+  // edges on a 1-CPU host).
+  int shift = 0;
+  while ((int64_t{1} << shift) < blk) ++shift;
+  const bool pow2 = (int64_t{1} << shift) == blk;
+  std::vector<int32_t> sbv(n), tbv(n);
+  int32_t max_sb = 0, max_tb = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t sb = pow2 ? (src[i] >> shift)
+                            : src[i] / static_cast<int32_t>(blk);
+    const int32_t tb = pow2 ? (tgt[i] >> shift)
+                            : tgt[i] / static_cast<int32_t>(blk);
+    sbv[i] = sb;
+    tbv[i] = tb;
+    if (sb > max_sb) max_sb = sb;
+    if (tb > max_tb) max_tb = tb;
+  }
+  const int64_t sb_span = static_cast<int64_t>(max_sb) + 1;
+  const int64_t num_keys = (static_cast<int64_t>(max_tb) + 1) * sb_span;
+
+  // Stable counting sort by key = tb * sb_span + sb.
+  std::vector<int64_t> key(n);
+  std::vector<int64_t> cnt(num_keys + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    key[i] = static_cast<int64_t>(tbv[i]) * sb_span + sbv[i];
+    ++cnt[key[i] + 1];
+  }
+  for (int64_t k = 0; k < num_keys; ++k) cnt[k + 1] += cnt[k];
+  std::vector<int64_t> order(n);
+  {
+    std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < n; ++i) order[cursor[key[i]]++] = i;
+  }
+
+  // Walk sorted edges: new pair -> new chunk; new tgt run -> group-aligned
+  // chunk start (skipped padding chunks inherit the previous blocks).
+  int64_t chunk = -1, pos = 0;
+  int64_t cur_key = -1, cur_tb = -1;
+  int32_t last_sb = 0, last_tb = 0;
+  for (int64_t s = 0; s < n; ++s) {
+    const int64_t i = order[s];
+    const int64_t k = key[i];
+    const int32_t sb = sbv[i];
+    const int32_t tb = tbv[i];
+    if (k != cur_key) {
+      int64_t next = chunk + 1;
+      if (tb != cur_tb) {  // new run starts group-aligned
+        next = ((next + group - 1) / group) * group;
+        cur_tb = tb;
+      }
+      for (int64_t c = chunk + 1; c < next && c < budget; ++c) {
+        src_blk[c] = last_sb;
+        tgt_blk[c] = last_tb;
+      }
+      chunk = next;
+      pos = 0;
+      cur_key = k;
+    } else if (pos == e_c) {
+      ++chunk;
+      pos = 0;
+    }
+    if (chunk >= budget) return -1;
+    if (pos == 0) {
+      src_blk[chunk] = sb;
+      tgt_blk[chunk] = tb;
+      last_sb = sb;
+      last_tb = tb;
+    }
+    const int64_t slot = chunk * e_c + pos;
+    rel_src[slot] = src[i] - sb * static_cast<int32_t>(blk);
+    rel_tgt[slot] = tgt[i] - tb * static_cast<int32_t>(blk);
+    edge_slot[i] = slot;
+    ++pos;
+  }
+  // The final run also pads to a group multiple; remaining budget chunks
+  // inherit the last real blocks (matches the numpy fill).
+  for (int64_t c = chunk + 1; c < budget; ++c) {
+    src_blk[c] = last_sb;
+    tgt_blk[c] = last_tb;
+  }
+  const int64_t used = ((chunk + 1 + group - 1) / group) * group;
+  return used <= budget ? used : -1;
+}
+
 }  // extern "C"

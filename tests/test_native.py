@@ -131,3 +131,41 @@ def test_worker_thread_batching(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(l1["target_value"]), np.asarray(l2["target_value"])
         )
+
+
+def test_native_pair_planner_matches_numpy():
+    """gp_pair_plan must produce byte-identical plans + edge->slot maps to
+    the numpy planner (which stays authoritative for the spill path)."""
+    import numpy as np
+
+    import tf2_gnn_tpu.native as native
+    import tf2_gnn_tpu.ops.pair_spmm as ps
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        v = 1024
+        srcs, tgts, counts = [], [], []
+        for l in range(3):
+            e = int(rng.randint(500, 4000))
+            srcs.append(rng.randint(0, v, e))
+            tgts.append(rng.randint(0, v, e))
+            counts.append(e)
+        f, b = ps.measure_pair_chunks(srcs, tgts, counts, v)
+        bf = ((int(f * 1.1) + ps.GROUP - 1) // ps.GROUP) * ps.GROUP
+        bb = ((int(b * 1.1) + ps.BWD_GROUP - 1)
+              // ps.BWD_GROUP) * ps.BWD_GROUP
+        p_native = ps.build_pair_plans(
+            srcs, tgts, counts, v, chunk_budget_fwd=bf, chunk_budget_bwd=bb)
+        native._lib, native._tried = None, True   # force the numpy path
+        try:
+            p_numpy = ps.build_pair_plans(
+                srcs, tgts, counts, v,
+                chunk_budget_fwd=bf, chunk_budget_bwd=bb)
+        finally:
+            native._tried = False
+        for a, c in zip(p_native.astuple(), p_numpy.astuple()):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

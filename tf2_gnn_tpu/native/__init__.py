@@ -80,6 +80,12 @@ def _load():
         _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _i32p, _i32p, _i32p,
     ]
+    lib.gp_pair_plan.restype = ctypes.c_int64
+    lib.gp_pair_plan.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _i32p, _i32p, _i32p, _i32p,
+        np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return _lib
 
@@ -217,6 +223,31 @@ def scatter_plan(sorted_vals: np.ndarray, order: np.ndarray, num_chunks: int,
             perm, rel, block_ids,
         )
     )
+
+
+def pair_plan(src: np.ndarray, tgt: np.ndarray, budget: int, group: int,
+              blk: int, e_c: int):
+    """Native block-pair planner for one direction (no-spill fast path).
+
+    Returns (chunks_used, rel_src, rel_tgt, src_blk, tgt_blk, edge_slot)
+    with chunks_used == -1 on budget overflow, or None when the native
+    library is unavailable — in both cases the caller runs the numpy
+    planner (which also handles spilling)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(src.shape[0])
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    tgt = np.ascontiguousarray(tgt, dtype=np.int32)
+    rel_src = np.empty((budget * e_c,), np.int32)
+    rel_tgt = np.empty((budget * e_c,), np.int32)
+    src_blk = np.empty((budget,), np.int32)
+    tgt_blk = np.empty((budget,), np.int32)
+    edge_slot = np.empty((n,), np.int64)
+    used = int(lib.gp_pair_plan(src, tgt, n, budget, group, blk, e_c,
+                                rel_src, rel_tgt, src_blk, tgt_blk,
+                                edge_slot))
+    return used, rel_src, rel_tgt, src_blk, tgt_blk, edge_slot
 
 
 def in_degrees(edges: np.ndarray, num_nodes: int) -> np.ndarray:

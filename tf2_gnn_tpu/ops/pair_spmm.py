@@ -150,13 +150,17 @@ def _plan_one_direction(
     group: int = GROUP,
 ) -> Tuple[Optional[PairPlan], np.ndarray]:
     """Pair-chunk one direction. ``chunk_budget=None`` sizes the plan to the
-    data (single-batch use). Returns (plan, overflow_edge_mask) where the
-    mask marks input edges that did not fit the chunk budget (smallest pairs
-    are spilled first). ``group`` chunks share one target block per grid
-    step (runs pad to a multiple of it); ``chunk_budget`` must divide by it.
+    data (single-batch use). Returns (plan, overflow_edge_mask, edge_slot)
+    where the mask marks input edges that did not fit the chunk budget
+    (smallest pairs are spilled first) and ``edge_slot[i]`` is input edge
+    i's kernel slot (-1 when spilled) — the cheap hook for per-slot scale
+    scatters (re-deriving slot ids from the plan costs ~200 ms/batch on a
+    1-CPU host). ``group`` chunks share one target block per grid step
+    (runs pad to a multiple of it); ``chunk_budget`` must divide by it.
     """
     n = src.shape[0]
     overflow_mask = np.zeros((n,), bool)
+    edge_slot = np.full((n,), -1, np.int64)
     if chunk_budget is not None and chunk_budget % group:
         raise ValueError(
             f"pair chunk budget {chunk_budget} not a multiple of {group}")
@@ -168,7 +172,21 @@ def _plan_one_direction(
         plan = PairPlan(rel, rel.copy(),
                         np.zeros((chunk_budget,), np.int32),
                         np.zeros((num_groups,), np.int32))
-        return plan, overflow_mask
+        return plan, overflow_mask, edge_slot
+
+    if chunk_budget is not None:
+        # Native fast path (same stable layout; ~10x the numpy planner on a
+        # 1-CPU host). Falls through to numpy on overflow — only numpy
+        # implements pair spilling.
+        from ..native import pair_plan as native_pair_plan
+
+        native = native_pair_plan(src, tgt, chunk_budget, group, BLK, E_C)
+        if native is not None and native[0] >= 0:
+            _, rel_s, rel_t, src_blk, tgt_blk, edge_slot = native
+            plan = PairPlan(rel_s.reshape(chunk_budget, E_C),
+                            rel_t.reshape(chunk_budget, E_C),
+                            src_blk, tgt_blk[::group].copy())
+            return plan, overflow_mask, edge_slot
 
     sb = src // BLK
     tb = tgt // BLK
@@ -234,12 +252,15 @@ def _plan_one_direction(
         slot = np.repeat(chunk_start, e_counts) * E_C + offs
         rel_src[slot] = (s_src - s_sb * BLK)[kept_edge]
         rel_tgt[slot] = (s_tgt - s_tb * BLK)[kept_edge]
+        edge_slot[order[kept_edge]] = slot
         # Chunk metadata: chunks of each pair are consecutive.
         chunk_pair = np.full((chunk_budget,), -1, np.int64)
-        ch_idx = np.concatenate([
-            np.arange(cs, cs + pc) for cs, pc in zip(chunk_start, p_chunks)
-        ]) if chunk_start.size else np.zeros((0,), np.int64)
-        chunk_pair[ch_idx] = np.repeat(np.arange(kept_idx.shape[0]), p_chunks)
+        tot = int(p_chunks.sum())
+        pair_of_chunk = np.repeat(np.arange(kept_idx.shape[0]), p_chunks)
+        csum_pc = np.concatenate(([0], np.cumsum(p_chunks)))[:-1]
+        ch_idx = (np.repeat(chunk_start, p_chunks)
+                  + np.arange(tot) - np.repeat(csum_pc, p_chunks))
+        chunk_pair[ch_idx] = pair_of_chunk
         have = chunk_pair >= 0
         src_blk[have] = s_sb[starts[kept_idx]][chunk_pair[have]]
         tgt_blk[have] = s_tb[starts[kept_idx]][chunk_pair[have]]
@@ -265,24 +286,12 @@ def _plan_one_direction(
         src_blk,
         tgt_blk[::group].copy(),
     )
-    return plan, overflow_mask
+    return plan, overflow_mask, edge_slot
 
 
-def _np_slot_abs(plan: PairPlan):
-    """Numpy twin of ``pair_slot_abs_ids``: absolute (src, tgt) per slot +
-    validity, for host-side scale precomputation."""
-    rel_s = plan.rel_src.reshape(-1)
-    rel_t = plan.rel_tgt.reshape(-1)
-    chunk = np.arange(rel_s.shape[0]) // E_C
-    group = plan_group(plan.src_blk, plan.grp_tgt)
-    srcabs = plan.src_blk[chunk].astype(np.int64) * BLK + np.minimum(rel_s, BLK - 1)
-    tgtabs = (plan.grp_tgt[chunk // group].astype(np.int64) * BLK
-              + np.minimum(rel_t, BLK - 1))
-    valid = (rel_s < BLK) & (rel_t < BLK)
-    return srcabs, tgtabs, valid
-
-
-def _host_inv_degree_scales(plans_fwd, plans_bwd, ovf_src, ovf_tgt,
+def _host_inv_degree_scales(fwd_slots: int, edge_slot_fwd,
+                            bwd_slots: int, edge_slot_bwd,
+                            ovf_src, ovf_tgt,
                             all_src, all_tgt, v: int, src_space: int,
                             num_types: int, merge_targets: bool = False):
     """Per-slot 1/(per-type in-degree + eps) for fwd/bwd/overflow slots.
@@ -290,39 +299,41 @@ def _host_inv_degree_scales(plans_fwd, plans_bwd, ovf_src, ovf_tgt,
     Matches calculate_type_to_num_incoming_edges + the reference's epsilon
     (gnn_edge_mlp.py:102-106): deg_l(t) counts real edges of type l into t.
     With ``merge_targets`` the target ids already carry the type offset, so
-    the merged target id indexes the [L*V] degree table directly.
+    the merged target id indexes the [L*V] degree table directly. Per-slot
+    values are direct scatters through the planner's edge->slot maps
+    (padded slots keep 0).
     """
     from ..utils.constants import SMALL_NUMBER
 
-    deg = np.zeros((num_types * v,), np.float32)
     if all_src.size:
         if merge_targets:
             idx = all_tgt
         else:
             idx = (all_src // src_space) * v + all_tgt
-        np.add.at(deg, idx, 1.0)
-    inv = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)
-    top = inv.shape[0] - 1
+        deg = np.bincount(idx, minlength=num_types * v).astype(np.float32)
+        inv_edge = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)[idx]
+    else:
+        deg = np.zeros((num_types * v,), np.float32)
+        inv_edge = np.zeros((0,), np.float32)
 
-    srcabs, tgtabs, valid = _np_slot_abs(plans_fwd)
-    fwd_idx = tgtabs if merge_targets else (srcabs // src_space) * v + tgtabs
-    inv_fwd = inv[np.minimum(fwd_idx, top)] * valid
-
-    srcabs_b, tgtabs_b, valid_b = _np_slot_abs(plans_bwd)
-    bwd_idx = (srcabs_b if merge_targets
-               else (tgtabs_b // src_space) * v + srcabs_b)
-    inv_bwd = inv[np.minimum(bwd_idx, top)] * valid_b
+    inv_fwd = np.zeros((fwd_slots,), np.float32)
+    m = edge_slot_fwd >= 0
+    inv_fwd[edge_slot_fwd[m]] = inv_edge[m]
+    inv_bwd = np.zeros((bwd_slots,), np.float32)
+    m = edge_slot_bwd >= 0
+    inv_bwd[edge_slot_bwd[m]] = inv_edge[m]
 
     out_rows = num_types * v if merge_targets else v
+    inv = (1.0 / (deg + SMALL_NUMBER)).astype(np.float32)
+    top = inv.shape[0] - 1
     ovf_valid = ovf_tgt < out_rows
     if merge_targets:
         ovf_idx = np.minimum(ovf_tgt, top)
     else:
         ovf_l = ovf_src.astype(np.int64) // src_space
         ovf_idx = np.minimum(ovf_l * v + np.minimum(ovf_tgt, v - 1), top)
-    inv_ovf = inv[ovf_idx] * ovf_valid
-    return (inv_fwd.astype(np.float32), inv_bwd.astype(np.float32),
-            inv_ovf.astype(np.float32))
+    inv_ovf = (inv[ovf_idx] * ovf_valid).astype(np.float32)
+    return inv_fwd, inv_bwd, inv_ovf
 
 
 def build_pair_plans(
@@ -364,21 +375,29 @@ def build_pair_plans(
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
 
-    fwd, ovf_f = _plan_one_direction(all_src, all_tgt, chunk_budget_fwd)
-    bwd, ovf_b = _plan_one_direction(all_tgt, all_src, chunk_budget_bwd,
-                                     group=BWD_GROUP)
+    fwd, ovf_f, slot_f = _plan_one_direction(all_src, all_tgt,
+                                             chunk_budget_fwd)
+    bwd, ovf_b, slot_b = _plan_one_direction(all_tgt, all_src,
+                                             chunk_budget_bwd,
+                                             group=BWD_GROUP)
     ovf = ovf_f | ovf_b  # an edge must take the same path in fwd and bwd
     if ovf.any():
         # Re-plan excluding ALL overflow edges so fwd/bwd stay consistent
         # (shapes fixed by the first pass).
         keep = ~ovf
-        fwd, extra_f = _plan_one_direction(all_src[keep], all_tgt[keep],
-                                           fwd.rel_src.shape[0])
-        bwd, extra_b = _plan_one_direction(all_tgt[keep], all_src[keep],
-                                           bwd.rel_src.shape[0],
-                                           group=BWD_GROUP)
+        fwd, extra_f, sf_k = _plan_one_direction(all_src[keep],
+                                                 all_tgt[keep],
+                                                 fwd.rel_src.shape[0])
+        bwd, extra_b, sb_k = _plan_one_direction(all_tgt[keep],
+                                                 all_src[keep],
+                                                 bwd.rel_src.shape[0],
+                                                 group=BWD_GROUP)
         if extra_f.any() or extra_b.any():  # pragma: no cover
             raise AssertionError("pair plan did not converge")
+        slot_f = np.full(all_src.shape, -1, np.int64)
+        slot_b = np.full(all_src.shape, -1, np.int64)
+        slot_f[keep] = sf_k
+        slot_b[keep] = sb_k
     num_overflow = int(ovf.sum())
     if num_overflow > overflow_budget:
         raise ValueError(
@@ -394,7 +413,8 @@ def build_pair_plans(
         ovf_src[:num_overflow] = all_src[ovf]
         ovf_tgt[:num_overflow] = all_tgt[ovf]
     inv_fwd, inv_bwd, inv_ovf = _host_inv_degree_scales(
-        fwd, bwd, ovf_src, ovf_tgt, all_src, all_tgt, v, src_space, num_types,
+        fwd.rel_src.size, slot_f, bwd.rel_src.size, slot_b,
+        ovf_src, ovf_tgt, all_src, all_tgt, v, src_space, num_types,
         merge_targets,
     )
     return PairPlans(fwd, bwd, ovf_src, ovf_tgt, inv_fwd, inv_bwd, inv_ovf)
@@ -426,8 +446,8 @@ def measure_pair_chunks(
                     + (l * v if merge_targets else 0))
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
-    fwd, _ = _plan_one_direction(all_src, all_tgt, None)
-    bwd, _ = _plan_one_direction(all_tgt, all_src, None, group=BWD_GROUP)
+    fwd, _, _ = _plan_one_direction(all_src, all_tgt, None)
+    bwd, _, _ = _plan_one_direction(all_tgt, all_src, None, group=BWD_GROUP)
     return fwd.rel_src.shape[0], bwd.rel_src.shape[0]
 
 
