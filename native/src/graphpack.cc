@@ -297,4 +297,43 @@ int64_t gp_pair_plan(const int32_t* src, const int32_t* tgt, int64_t n,
   return used <= budget ? used : -1;
 }
 
+// Count-only twin of gp_pair_plan: the run-aligned chunk total this
+// direction needs (the dataset's padding-config derivation walks every
+// batch once at load time). No output arrays, no budget.
+int64_t gp_pair_plan_count(const int32_t* src, const int32_t* tgt, int64_t n,
+                           int64_t group, int64_t blk, int64_t e_c) {
+  if (n == 0) return 0;
+  int shift = 0;
+  while ((int64_t{1} << shift) < blk) ++shift;
+  const bool pow2 = (int64_t{1} << shift) == blk;
+  int32_t max_sb = 0, max_tb = 0;
+  std::vector<int32_t> sbv(n), tbv(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t sb = pow2 ? (src[i] >> shift)
+                            : src[i] / static_cast<int32_t>(blk);
+    const int32_t tb = pow2 ? (tgt[i] >> shift)
+                            : tgt[i] / static_cast<int32_t>(blk);
+    sbv[i] = sb;
+    tbv[i] = tb;
+    if (sb > max_sb) max_sb = sb;
+    if (tb > max_tb) max_tb = tb;
+  }
+  const int64_t sb_span = static_cast<int64_t>(max_sb) + 1;
+  const int64_t num_keys = (static_cast<int64_t>(max_tb) + 1) * sb_span;
+  // Per-pair edge counts + per-run chunk sums (no per-edge sort needed).
+  std::vector<int64_t> per_key(num_keys, 0);
+  for (int64_t i = 0; i < n; ++i)
+    ++per_key[static_cast<int64_t>(tbv[i]) * sb_span + sbv[i]];
+  int64_t total = 0;
+  for (int64_t tb = 0; tb <= max_tb; ++tb) {
+    int64_t run = 0;
+    for (int64_t sb = 0; sb < sb_span; ++sb) {
+      const int64_t c = per_key[tb * sb_span + sb];
+      if (c) run += (c + e_c - 1) / e_c;
+    }
+    total += ((run + group - 1) / group) * group;
+  }
+  return total;
+}
+
 }  // extern "C"

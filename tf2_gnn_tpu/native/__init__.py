@@ -86,6 +86,11 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, _i32p, _i32p, _i32p, _i32p,
         np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.gp_pair_plan_count.restype = ctypes.c_int64
+    lib.gp_pair_plan_count.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -248,6 +253,19 @@ def pair_plan(src: np.ndarray, tgt: np.ndarray, budget: int, group: int,
                                 rel_src, rel_tgt, src_blk, tgt_blk,
                                 edge_slot))
     return used, rel_src, rel_tgt, src_blk, tgt_blk, edge_slot
+
+
+def pair_plan_count(src: np.ndarray, tgt: np.ndarray, group: int, blk: int,
+                    e_c: int) -> Optional[int]:
+    """Run-aligned chunk total one pair-plan direction needs (count-only
+    native twin of ``pair_plan``), or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.gp_pair_plan_count(
+        np.ascontiguousarray(src, dtype=np.int32),
+        np.ascontiguousarray(tgt, dtype=np.int32),
+        int(src.shape[0]), group, blk, e_c))
 
 
 def in_degrees(edges: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -446,6 +446,12 @@ def measure_pair_chunks(
                     + (l * v if merge_targets else 0))
     all_src = np.concatenate(srcs) if srcs else np.zeros((0,), np.int64)
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
+    from ..native import pair_plan_count
+
+    f = pair_plan_count(all_src, all_tgt, GROUP, BLK, E_C)
+    b = pair_plan_count(all_tgt, all_src, BWD_GROUP, BLK, E_C)
+    if f is not None and b is not None:
+        return max(f, GROUP), max(b, BWD_GROUP)
     fwd, _, _ = _plan_one_direction(all_src, all_tgt, None)
     bwd, _, _ = _plan_one_direction(all_tgt, all_src, None, group=BWD_GROUP)
     return fwd.rel_src.shape[0], bwd.rel_src.shape[0]
