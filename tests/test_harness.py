@@ -249,12 +249,12 @@ def test_cli_ppi_shipped_config_end_to_end(tmp_path):
     assert ckpt.exists()
     metric = test_model(ckpt, data_dir)
     assert np.isfinite(metric)
-    # The shipped config turned the Pallas plans on.
+    # The shipped config turned the pair-kernel plans on.
     import pickle
 
     with open(ckpt, "rb") as f:
         saved = pickle.load(f)
-    assert saved["dataset_params"]["use_pallas_spmm"] is True
+    assert saved["dataset_params"]["use_pair_spmm"] is True
 
 
 def test_train_parser_accepts_reference_compat_flags():
