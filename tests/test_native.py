@@ -169,3 +169,45 @@ def test_native_pair_planner_matches_numpy():
             native._tried = False
         for a, c in zip(p_native.astuple(), p_numpy.astuple()):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_stale_library_rebuilds_or_falls_back(tmp_path, monkeypatch):
+    """A libgraphpack.so built before new entry points were added must not
+    crash the module: _load() rebuilds a stale binary, and a missing symbol
+    (stale binary + no toolchain) degrades to the numpy fallback."""
+    import ctypes
+    import subprocess
+
+    import numpy as np
+
+    import tf2_gnn_tpu.native as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    # Build an OLD library lacking gp_pair_plan.
+    old_src = tmp_path / "old.cc"
+    old_src.write_text(
+        '#include <cstdint>\nextern "C" int64_t gp_expand_edges('
+        "const int32_t*, int64_t, int, int32_t*) { return 0; }\n")
+    old_lib = tmp_path / "libgraphpack.so"
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", str(old_lib),
+                    str(old_src)], check=True)
+
+    native._reset_for_tests()
+    try:
+        monkeypatch.setattr(native, "_LIB_PATH", old_lib)
+        # No Makefile next to it -> rebuild impossible -> must fall back.
+        monkeypatch.setattr(native, "_MAKE_DIR", tmp_path)
+        assert native._load() is None
+        # The numpy fallbacks still work end to end.
+        deg = native.in_degrees(
+            np.array([[0, 1], [2, 1]], np.int32), 4)
+        np.testing.assert_array_equal(deg, [0.0, 2.0, 0.0, 0.0])
+        assert native.pair_plan_count(
+            np.array([0], np.int32), np.array([1], np.int32),
+            16, 128, 128) is None
+    finally:
+        native._reset_for_tests()

@@ -35,18 +35,35 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the built library predates the C++ source (a checkout that
+    built at an older commit and then pulled new engine entry points)."""
+    src = _MAKE_DIR / "src" / "graphpack.cc"
+    try:
+        return src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
-        return None
+    if (not _LIB_PATH.exists() or _stale()) and not _build():
+        if not _LIB_PATH.exists():
+            return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
+        return _wire(lib)
+    except (OSError, AttributeError):
+        # Unloadable or missing a symbol (stale binary without a working
+        # toolchain to rebuild): degrade to the numpy fallbacks.
         return None
 
+
+def _wire(lib):
+    global _lib
     lib.gp_expand_edges.restype = ctypes.c_int64
     lib.gp_expand_edges.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int, _i32p]
     lib.gp_flip_edges.restype = None
@@ -93,6 +110,13 @@ def _load():
     ]
     _lib = lib
     return _lib
+
+
+def _reset_for_tests():
+    """Drop the cached library so tests can force reload/fallback paths."""
+    global _lib, _tried
+    _lib = None
+    _tried = False
 
 
 def available() -> bool:
