@@ -20,7 +20,7 @@ masking is required anywhere in this file.
 """
 import dataclasses
 from abc import abstractmethod
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -181,6 +181,12 @@ class MessagePassing(nn.Module):
         fused Pallas gather/scatter path, or None when not applicable."""
         return None
 
+    def _halo_overlap_capable(self, batch: GraphBatch) -> bool:
+        """Subclass hook: True when the flavour's fused path accepts LOCAL
+        node states under SPMD-halo and self-assembles its ext source
+        tables (the collective then overlaps the local transforms)."""
+        return False
+
     @staticmethod
     def _globalize_tables(tables_flat: jnp.ndarray, batch: GraphBatch,
                           num_types: int) -> jnp.ndarray:
@@ -216,47 +222,73 @@ class MessagePassing(nn.Module):
         ext-local source ids index. The transpose (boundary-row gradients
         routed back to their owners and scatter-added) is the automatic AD
         of gather + collective + concat."""
+        halo = MessagePassing._halo_recv(node_states, batch)
+        parts = [node_states]
+        if halo is not None:
+            parts.append(halo)
+        pad = batch.halo_ext_nodes - sum(p.shape[0] for p in parts)
+        if pad:
+            parts.append(jnp.zeros((pad, node_states.shape[-1]),
+                                   node_states.dtype))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    @staticmethod
+    def _halo_recv(node_states: jnp.ndarray,
+                   batch: GraphBatch) -> Optional[jnp.ndarray]:
+        """Just the received boundary rows (no local concat): the building
+        block that lets consumers run their LOCAL node-space transforms
+        concurrently with the collective (SURVEY hard part 4 — the
+        collective's input is the raw states, so XLA's latency-hiding
+        scheduler overlaps it with any transform of the local rows).
+        None when the ring plan has no active distances."""
         import jax as _jax
 
         if batch.halo_ring_send is not None:
             s = batch.spmd_num_shards
-            parts = [node_states]
+            parts = []
             for k, idx in zip(batch.halo_ring_dists, batch.halo_ring_send):
                 send = jnp.take(node_states, idx, axis=0, mode="clip")
                 recv = _jax.lax.ppermute(
                     send, batch.spmd_axis,
                     perm=[(i, (i + k) % s) for i in range(s)])
                 parts.append(recv.astype(node_states.dtype))
-        else:
-            idx = batch.halo_send_idx          # [S, max_send] per shard
-            num_shards, max_send = idx.shape
-            send = jnp.take(node_states, idx.reshape(-1), axis=0,
-                            mode="clip").reshape(num_shards, max_send, -1)
-            recv = _jax.lax.all_to_all(send, batch.spmd_axis, 0, 0,
-                                       tiled=False)
-            parts = [node_states,
-                     recv.reshape(num_shards * max_send,
-                                  -1).astype(node_states.dtype)]
-        pad = batch.halo_ext_nodes - sum(p.shape[0] for p in parts)
-        if pad:
-            parts.append(jnp.zeros((pad, node_states.shape[-1]),
-                                   node_states.dtype))
-        return jnp.concatenate(parts, axis=0)
+            if not parts:
+                return None
+            return (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                    else parts[0])
+        idx = batch.halo_send_idx          # [S, max_send] per shard
+        num_shards, max_send = idx.shape
+        send = jnp.take(node_states, idx.reshape(-1), axis=0,
+                        mode="clip").reshape(num_shards, max_send, -1)
+        recv = _jax.lax.all_to_all(send, batch.spmd_axis, 0, 0,
+                                   tiled=False)
+        return recv.reshape(num_shards * max_send,
+                            -1).astype(node_states.dtype)
 
     # ------------------------------------------------------------------ entry
     @nn.compact
     def __call__(
         self, node_states: jnp.ndarray, batch: GraphBatch, training: bool = False
     ) -> jnp.ndarray:
-        if batch.spmd_axis is not None and batch.halo_mode:
-            # Source-side transforms run over [local | halo] rows; the
-            # aggregation/update side stays local-only.
+        halo = batch.spmd_axis is not None and batch.halo_mode
+        if halo and self._halo_overlap_capable(batch):
+            # The fused path self-assembles its ext source tables: LOCAL
+            # node-space transforms run concurrently with the boundary
+            # collective (_fused_node_space_tables / _halo_recv).
+            fused = self._fused_sum_aggregate(node_states, batch, training)
+            if fused is not None:
+                return self._post_aggregate(fused, node_states, batch,
+                                            training)
             src_states = self._exchange_halo(node_states, batch)
         else:
-            src_states = node_states
-        fused = self._fused_sum_aggregate(src_states, batch, training)
-        if fused is not None:
-            return self._post_aggregate(fused, node_states, batch, training)
+            # Source-side transforms run over [local | halo] rows; the
+            # aggregation/update side stays local-only.
+            src_states = (self._exchange_halo(node_states, batch)
+                          if halo else node_states)
+            fused = self._fused_sum_aggregate(src_states, batch, training)
+            if fused is not None:
+                return self._post_aggregate(fused, node_states, batch,
+                                            training)
         messages_per_type = self._compute_messages_per_type(src_states, batch, training)
         return self._compute_new_node_embeddings(
             node_states, messages_per_type, batch, training

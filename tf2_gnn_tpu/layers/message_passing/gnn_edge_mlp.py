@@ -281,20 +281,55 @@ class GNN_Edge_MLP(MessagePassing):
         gathers measure ~3.5 ms/step on the PPI bench)."""
         return plan.inv_fwd, plan.inv_bwd
 
+    def _halo_overlap_capable(self, batch: GraphBatch) -> bool:
+        # The source-only paths route every source table through
+        # _fused_node_space_tables, which self-assembles the ext rows;
+        # target-state forms gather source halves directly and still need
+        # the pre-exchanged ext states.
+        return not self.use_target_state_as_input
+
     def _fused_node_space_tables(self, node_states, batch: GraphBatch):
-        """The per-type message MLP run densely in node space -> [L*V, H]."""
+        """The per-type message MLP run densely in node space -> [L*V, H].
+
+        Under SPMD-halo with LOCAL input (num_nodes_padded rows), the
+        boundary rows are exchanged RAW and transformed separately: the
+        collective's input is the raw states, so XLA's latency-hiding
+        scheduler runs it concurrently with the local transform (SURVEY
+        hard part 4). The transform is row-wise, so transform(exchange(x))
+        == exchange'(transform(x)) exactly."""
+        from .base import MessagePassing
+
         num_types = batch.num_edge_types
         layer_sizes = self._edge_mlp_layer_sizes()
         num_hidden = self.num_edge_MLP_hidden_layers
-        hidden = node_states
-        for i, size in enumerate(layer_sizes):
-            hidden = TypedLinear(
-                num_types, hidden.shape[-1], size, name=f"edge_mlp_layer_{i}"
-            )(hidden)
-            if i < num_hidden:
-                hidden = jax.nn.relu(hidden)
-        # -1 row count: in halo-SPMD mode the states (and thus tables) span
-        # the ext row space [local | halo], not just num_nodes_padded.
+        dims = [node_states.shape[-1]] + [int(s) for s in layer_sizes[:-1]]
+        mlp = [
+            TypedLinear(num_types, dims[i], size, name=f"edge_mlp_layer_{i}")
+            for i, size in enumerate(layer_sizes)
+        ]
+
+        def apply(x):
+            for i, mod in enumerate(mlp):
+                x = mod(x)
+                if i < num_hidden:
+                    x = jax.nn.relu(x)
+            return x
+
+        hidden = apply(node_states)  # [L, rows, H]
+        if (batch.spmd_axis is not None and batch.halo_mode
+                and node_states.shape[0] == batch.num_nodes_padded):
+            halo = MessagePassing._halo_recv(node_states, batch)
+            parts = [hidden]
+            if halo is not None:
+                parts.append(apply(halo))
+            pad = batch.halo_ext_nodes - sum(p.shape[1] for p in parts)
+            if pad:
+                parts.append(jnp.zeros(
+                    (num_types, pad, hidden.shape[-1]), hidden.dtype))
+            hidden = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                      else parts[0])
+        # -1 row count: in halo-SPMD mode the tables span the ext row space
+        # [local | halo], not just num_nodes_padded.
         tables = hidden.reshape(num_types * hidden.shape[1], -1)
         if self.edge_dtype != "float32":
             tables = tables.astype(self.edge_dtype)
