@@ -253,10 +253,16 @@ def test_pair_attention_kernels_match_twins_on_tpu():
     np.testing.assert_allclose(np.asarray(m_dev), np.asarray(m_ref),
                                rtol=1e-5, atol=1e-5)
     m_safe = jnp.where(m_ref > 0.5 * pa.NEG, m_ref, 0.0)
-    r = pa.pair_attention_agg(table, scores, m_safe, *f, v, k,
-                              interpret=True)
-    d = pa.pair_attention_agg(table, scores, m_safe, *f, v, k,
-                              interpret=False)
+    e_ref, s_ref = pa.pair_attention_expd(
+        scores, m_safe, *f, v, k, interpret=True)
+    e_dev, s_dev = pa.pair_attention_expd(
+        scores, m_safe, *f, v, k, interpret=False)
+    np.testing.assert_allclose(np.asarray(e_dev), np.asarray(e_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_dev), np.asarray(s_ref),
+                               rtol=1e-6, atol=1e-6)
+    r = pa.pair_attention_agg(table, e_ref, *f, v, k, interpret=True)
+    d = pa.pair_attention_agg(table, e_ref, *f, v, k, interpret=False)
     for x, y in zip(jax.tree.leaves(d), jax.tree.leaves(r)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-3)

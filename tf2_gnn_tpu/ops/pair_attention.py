@@ -8,13 +8,17 @@ kernels that never leave the chunk layout and never row-gather on XLA:
   LeakyReLU logits, reading both score halves from ONE VMEM-resident packed
   score table ``[L*V, 2K]`` (columns 0..K-1 source halves, K..2K-1 target
   halves — both live in the merged ``l*V + node`` row space).
+* ``_expd_kernel``  (fwd, grouped): materialises per-slot
+  ``expd = exp(leaky(p) - max[tgt])`` and the LeakyReLU slope in forward
+  slot order for the aggregation kernel. Streaming this compact [slots, W]
+  f32 array through HBM (~46 MB/layer round trip) was MEASURED 2.75x
+  faster than recomputing expd in-register inside every feature-tile sweep
+  of the aggregation kernel (13.5 vs 2.0+2.9 ms/layer at the PPI bench
+  shape): the narrow score-gather dots repeat h_tiles times and dominate.
 * ``_agg_kernel``   (fwd, grouped): the pair SpMM generalised to per-slot
   PER-HEAD scales — one pass emits softmax denominators [V, K] AND
-  exp-weighted message sums [V, H] with the message table feature tile AND
-  the packed scores resident in VMEM; ``expd = exp(leaky(p) - max[tgt])``
-  is recomputed in-register per sweep (max stabilisers arrive as a
-  per-group block input — cheaper than streaming a [slots, 16] f32 expd
-  array through HBM). Messages use the HK-MAJOR head layout (column
+  exp-weighted message sums [V, H] with the message table feature tile
+  resident in VMEM. Messages use the HK-MAJOR head layout (column
   ``hd*K + k``) so a ``pltpu.repeat`` of the K expd columns aligns.
 * ``_bwd_fused`` (bwd, grouped): ONE pass over the backward plan emits all
   three gradients — d_src_scores and d_table through per-group output
@@ -80,11 +84,14 @@ def _expd_width(num_heads: int) -> int:
     return max(ACC_W, num_heads)
 
 
-# Resident VMEM budget (bytes) for the binding kernel (the aggregation
-# sweep holds the feature tile AND the packed scores together; the fused
-# backward holds the augmented cotangent table + the transposed d_ts
-# accumulator). Leaves ~2.5 MiB of the 16 MiB VMEM for blocks, streams and
-# Mosaic's scoped stack.
+# Resident VMEM budgets (bytes): the max/expd kernels hold the packed score
+# table (+ maxes), the aggregation sweep holds the message-table feature
+# tile + the per-node denominator accumulator, and the fused backward holds
+# the augmented cotangent table + the transposed d_ts accumulator. Each
+# leaves headroom out of the 16 MiB VMEM for blocks, streams and Mosaic's
+# scoped stack.
+SCORE_BUDGET_BYTES = 12 * 1024 * 1024
+TABLE_BUDGET_BYTES = 11 * 1024 * 1024
 RESIDENT_BUDGET_BYTES = 13 * 1024 * 1024
 
 
@@ -105,11 +112,14 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
     t_item = jnp.dtype(table_dtype).itemsize
     s_item = jnp.dtype(score_dtype).itemsize
     # VMEM residency is 128-lane physical regardless of logical width.
-    table_tile = rows * TILE * t_item
     score_resident = rows * 128 * s_item
+    maxes_resident = num_nodes * 128 * 4
+    if score_resident + maxes_resident > SCORE_BUDGET_BYTES:
+        return False  # max / expd kernels
+    table_tile = rows * TILE * t_item
     den_resident = ACC_W * num_nodes * 4
-    if table_tile + score_resident + den_resident > RESIDENT_BUDGET_BYTES:
-        return False  # aggregation kernel
+    if table_tile + den_resident > TABLE_BUDGET_BYTES:
+        return False  # aggregation kernel (expd arrives as a stream)
     num_types = max(rows // max(num_nodes, 1), 1)
     extra = ACC_W + num_heads * (num_types + 1)
     haug = max(-(-(hidden_dim + extra) // TILE) * TILE, TILE)
@@ -275,31 +285,161 @@ def pair_attention_max(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 
 
 # ---------------------------------------------------------------------------
+# Kernel A2: per-slot expd + LeakyReLU slope, either plan direction.
+# ---------------------------------------------------------------------------
+
+def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                        num_nodes: int, num_heads: int, swap: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = scores.shape[0]
+    k2 = scores.shape[1]
+    k = num_heads
+    w = _expd_width(k)
+    v = num_nodes
+    num_chunks = rel_src.shape[0]
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
+    v_blocks = v // BLK
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
+               maxes_hbm, expd_ref, slope_ref, sc_vmem, mx_vmem, sem1, sem2):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            dma1 = pltpu.make_async_copy(scores_hbm, sc_vmem, sem1)
+            dma1.start()
+            dma2 = pltpu.make_async_copy(maxes_hbm, mx_vmem, sem2)
+            dma2.start()
+            dma1.wait()
+            dma2.wait()
+
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        for c in range(group):
+            rel_s = rel_s_ref[c, :]
+            rel_t = rel_t_ref[c, :]
+            if swap:
+                # Backward plan: plan-"src" = target node, plan-"tgt" = row.
+                u_blk = (grp_tgt_ref[g]).astype(jnp.int32)
+                v_blk = src_blk_ref[g * group + c]
+                rel_u, rel_v = rel_t, rel_s
+            else:
+                u_blk = src_blk_ref[g * group + c]
+                v_blk = grp_tgt_ref[g]
+                rel_u, rel_v = rel_s, rel_t
+            tsb = (u_blk * BLK // v) * v_blocks + v_blk
+            oh_u = (cols_i == rel_u[:, None]).astype(sc_vmem.dtype)
+            oh_v = (cols_i == rel_v[:, None]).astype(sc_vmem.dtype)
+            ss = jnp.dot(oh_u, sc_vmem[pl.ds(u_blk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, :k]
+            ts = jnp.dot(oh_v, sc_vmem[pl.ds(tsb * BLK, BLK), :],
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(sc_vmem.dtype))[:, k:2 * k]
+            mx = jnp.dot(oh_v.astype(jnp.float32),
+                         mx_vmem[pl.ds(v_blk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32,
+                         precision=EXACT)
+            p = ss + ts
+            logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
+            valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
+            expd = jnp.where(valid, jnp.exp(logit - mx), 0.0)
+            slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+            expd_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
+                expd, w // k, axis=1)
+            slope_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
+                slope, w // k, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, k2), scores.dtype),
+            pltpu.VMEM((num_nodes, k), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), scores, maxes)
+
+
+def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                     num_nodes: int, num_heads: int, swap: bool):
+    w = _expd_width(num_heads)
+    p, logit, tgt, _, valid = _slot_logits_jnp(
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap)
+    mx = jnp.take(maxes, tgt, axis=0, mode="clip")
+    expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+    # Contract: slope is 1.0 on invalid slots (the device kernel's all-zero
+    # one-hot rows give p = 0 there); consumers multiply by expd = 0 anyway.
+    slope = jnp.where(jnp.logical_and(valid[:, None], p < 0),
+                      LEAKY_SLOPE, 1.0)
+    rep = w // num_heads
+    return jnp.tile(expd, (1, rep)), jnp.tile(slope, (1, rep))
+
+
+def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+                        num_nodes: int, num_heads: int, swap: bool = False,
+                        interpret=None):
+    """Per-slot (expd, slope) in the slot order of the given plan direction,
+    TILE-wide f32 (column w = head ``w % num_heads``; a narrow [slots, K]
+    array would be lane-padded to 128 in HBM anyway, and f32 avoids
+    pack/unpack relayouts at the store/load sites).
+    ``maxes`` must already include overflow-edge contributions."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _expd_kernel_jnp if interpret else _expd_kernel_device
+    return fn(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+              num_nodes, num_heads, swap)
+
+# ---------------------------------------------------------------------------
 # Kernel B: softmax denominators + exp-weighted message sums (forward plan,
 # grouped, message-table feature tile resident).
 # ---------------------------------------------------------------------------
 
-def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
-                       grp_tgt, num_nodes: int, num_heads: int):
+def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     orig_h = table.shape[-1]
     table = _pad_cols(table, TILE)
     rows, h = table.shape
-    k2 = scores.shape[1]
     k = num_heads
-    assert scores.dtype == table.dtype, "scores/table must share the dtype"
+    w = _expd_width(k)
     v = num_nodes
-    v_blocks = v // BLK
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
     h_tiles = h // TILE
 
-    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, mx_ref,
-               table_hbm, sc_hbm, zeros_w_ref, weighted_ref, denom_t_ref,
-               table_vmem, sc_vmem, den_acc, copy_sem, sc_sem):
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, expd_ref,
+               table_hbm, zeros_w_ref, weighted_ref, denom_t_ref,
+               table_vmem, den_acc, copy_sem):
         del zeros_w_ref
         t = pl.program_id(0)
         g = pl.program_id(1)
@@ -313,10 +453,7 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
 
             @pl.when(t == 0)
             def _():
-                dma_sc = pltpu.make_async_copy(sc_hbm, sc_vmem, sc_sem)
-                dma_sc.start()
                 den_acc[:, :] = jnp.zeros_like(den_acc)
-                dma_sc.wait()
 
             dma.wait()
 
@@ -326,31 +463,15 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
         for c in range(group):
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
+            e_c = expd_ref[pl.ds(c * E_C, E_C), :]  # [E_C, W] f32
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
-            oh_tv = (cols_i == rel_t[:, None]).astype(table_vmem.dtype)
             blk = src_blk_ref[g * group + c]
             msgs = jnp.dot(oh_s, table_vmem[pl.ds(blk * BLK, BLK), :],
                            preferred_element_type=jnp.float32,
                            precision=_prec(table_vmem.dtype))
-            # expd recomputed in-register from the resident packed scores
-            # (every feature-tile sweep — cheaper than streaming a
-            # [slots, 16] f32 expd array through HBM).
-            tsb = (blk * BLK // v) * v_blocks + tb
-            ss = jnp.dot(oh_s, sc_vmem[pl.ds(blk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32,
-                         precision=_prec(sc_vmem.dtype))[:, :k]
-            ts = jnp.dot(oh_tv, sc_vmem[pl.ds(tsb * BLK, BLK), :],
-                         preferred_element_type=jnp.float32,
-                         precision=_prec(sc_vmem.dtype))[:, k:2 * k]
-            mxg = jnp.dot(oh_tv.astype(jnp.float32), mx_ref[:, :],
-                          preferred_element_type=jnp.float32,
-                          precision=EXACT)               # [E_C, K]
-            p = ss + ts
-            logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
-            valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
-            e_k = jnp.where(valid, jnp.exp(logit - mxg), 0.0)
-            scaled = (msgs * pltpu.repeat(e_k, TILE // k, axis=1)
+            scaled = (msgs * pltpu.repeat(e_c, TILE // w, axis=1)
                       ).astype(table_vmem.dtype)
+            oh_tv = (cols_i == rel_t[:, None]).astype(table_vmem.dtype)
             w_contrib = w_contrib + jax.lax.dot_general(
                 oh_tv, scaled, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -361,7 +482,7 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
             # feature-tile sweep only.
             @pl.when(t == 0)
             def _():
-                e_n = pltpu.repeat(e_k, ACC_W // k, axis=1)
+                e_n = e_c[:, :ACC_W]
                 # Contract the slot axes directly (transposed-lhs matmul).
                 d_t = jax.lax.dot_general(
                     e_n, oh_tv.astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -393,10 +514,9 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, k), lambda t, g, s, tb: (tb[g], 0),
-                         memory_space=pltpu.VMEM),  # group's max stabilisers
+            pl.BlockSpec((group * E_C, w), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed scores in HBM
             pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
                          memory_space=pltpu.VMEM),   # zeros -> weighted alias
         ],
@@ -408,9 +528,7 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, TILE), table.dtype),
-            pltpu.VMEM((rows, k2), scores.dtype),
             pltpu.VMEM((ACC_W, v), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -422,27 +540,24 @@ def _agg_kernel_device(table, scores, maxes, rel_src, rel_tgt, src_blk,
             jax.ShapeDtypeStruct((v, h), jnp.float32),
             jax.ShapeDtypeStruct((ACC_W, v), jnp.float32),
         ),
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (2 * BLK * E_C * TILE) * h_tiles,
-            bytes_accessed=rows * (h + k2) * table.dtype.itemsize
-            + num_chunks * E_C * 8 + v * h * 4,
-            transcendentals=num_chunks * E_C * k * h_tiles,
+            bytes_accessed=rows * h * table.dtype.itemsize
+            + num_chunks * E_C * (8 + w * table.dtype.itemsize) + v * h * 4,
+            transcendentals=0,
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), maxes, table, scores, zeros_w)
+      jnp.asarray(rel_tgt), expd, table, zeros_w)
     return denom_t.T[:, :k], weighted[:, :orig_h]
 
 
-def _agg_kernel_jnp(table, scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+def _agg_kernel_jnp(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
                     num_nodes: int, num_heads: int):
     srcabs, tgtabs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
     head_dim = table.shape[1] // num_heads
     msgs = jnp.take(table, srcabs, axis=0, mode="clip").astype(jnp.float32)
-    _, logit, tgt, _, _ = _slot_logits_jnp(
-        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=False)
-    mx = jnp.take(maxes, tgt, axis=0, mode="clip")
-    e = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+    e = expd[:, :num_heads] * valid[:, None]
     seg = jnp.where(valid, tgtabs, num_nodes)
     weighted = jax.ops.segment_sum(
         msgs * jnp.tile(e, (1, head_dim)), seg, num_segments=num_nodes + 1
@@ -453,18 +568,17 @@ def _agg_kernel_jnp(table, scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     return denom, weighted
 
 
-def pair_attention_agg(table, scores, maxes, rel_src, rel_tgt, src_blk,
-                       grp_tgt, num_nodes: int, num_heads: int,
-                       interpret=None):
+def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
+                       num_nodes: int, num_heads: int, interpret=None):
     """(denom [V, K], weighted [V, H]) — softmax denominators and
-    exp-weighted hk-major message sums over the forward plan's slots, with
-    ``expd = exp(leaky(p) - maxes[tgt])`` recomputed inside the sweep from
-    the packed scores (no expd stream through HBM)."""
+    exp-weighted hk-major message sums over the forward plan's slots.
+    ``expd`` is in the EXPD_W-wide streamed layout."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _agg_kernel_jnp if interpret else _agg_kernel_device
-    return fn(table, scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
+    return fn(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
               num_nodes, num_heads)
+
 
 # ---------------------------------------------------------------------------
 # Kernel C (fused backward): one grouped pass over the BACKWARD plan emits
@@ -816,10 +930,19 @@ def _stabilise(m, stream_dtype):
 def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
                  v: int, k: int):
     """(denom, weighted, expd_o, slope_o) of one launch under a GIVEN
-    stabiliser (which may span several launches — the per-type form)."""
+    stabiliser (which may span several launches — the per-type form).
+
+    The forward streams a dedicated [slots, W] f32 expd array between the
+    expd kernel and the aggregation sweep: recomputing expd in-register per
+    feature-tile sweep was measured 2.75x SLOWER (13.5 vs 2.0+2.9 ms/layer
+    at the PPI bench shape) — the per-chunk narrow score-gather dots repeat
+    h_tiles times and cost far more than the compact stream's HBM round
+    trip (~46 MB/layer at ~740 GB/s). The fused BACKWARD kernel keeps the
+    in-register recompute: it pays the gathers exactly once."""
     head_dim = table.shape[1] // k
+    expd_f, _ = pair_attention_expd(scores, m_safe, *fwd_plan, v, k)
     denom, weighted = pair_attention_agg(
-        table, scores, m_safe, *fwd_plan, v, k,
+        table, expd_f, *fwd_plan, v, k,
     )
     p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
