@@ -38,6 +38,11 @@ echo "== pair kernel micro-bench (fwd/bwd/grad) =="
 timeout 1800 python benchmarks/pair_bench.py > "$OUT/20_pair_bench.log" 2>&1
 tail -8 "$OUT/20_pair_bench.log"
 
+echo "== attention per-kernel split (max/expd/agg/fwd/grad) =="
+timeout 1800 python benchmarks/attention_probe.py \
+    > "$OUT/25_attention_probe.log" 2>&1
+tail -6 "$OUT/25_attention_probe.log"
+
 echo "== RGAT flavour sweep (XLA vs fused) =="
 timeout 2400 python benchmarks/flavour_sweep.py rgat \
     > "$OUT/30_rgat_sweep.log" 2>&1
