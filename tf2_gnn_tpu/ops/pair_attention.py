@@ -927,6 +927,38 @@ def _stabilise(m, stream_dtype):
     return m_safe.astype(stream_dtype).astype(jnp.float32)
 
 
+def _headmajor_sums(table, expd_f, fwd_plan, v: int, k: int):
+    """(denom, weighted) via K per-head ``pair_spmm`` launches on a
+    HEAD-MAJOR single-tile layout.
+
+    Tile ``kk`` carries ONLY head kk's columns, so its per-slot scale is
+    the single expd column kk — foldable into the target one-hot exactly
+    like pair_spmm's scalar 1/deg scale (A = (oh_tgt * expd_k) @ oh_src,
+    two pure-MXU dots per chunk, no f32 message materialisation and no
+    per-chunk f32->bf16 pack relayout of scaled messages). A 1.0 written
+    into the first padding column makes that output column the softmax
+    denominator for the head (row-sums of A) through the same dot.
+    Rounding note: A is cast to the table dtype between the two dots
+    (pair_spmm kernel), so denominators inherit stream-dtype rounding
+    (~0.4% bf16) instead of the wide kernel's EXACT accumulation —
+    covered by the drop-in equivalence tolerances."""
+    from .pair_spmm import pair_spmm
+
+    rows = table.shape[0]
+    head_dim = table.shape[1] // k
+    heads = table.reshape(rows, head_dim, k)  # hk-major: col = hd*K + kk
+    ones = jnp.ones((rows, 1), table.dtype)
+    pad = jnp.zeros((rows, TILE - head_dim - 1), table.dtype)
+    outs = []
+    for kk in range(k):
+        t_pad = jnp.concatenate([heads[:, :, kk], ones, pad], axis=1)
+        outs.append(pair_spmm(t_pad, expd_f[:, kk], *fwd_plan, v))
+    denom = jnp.stack([o[:, head_dim] for o in outs], axis=-1)
+    weighted = jnp.stack([o[:, :head_dim] for o in outs],
+                         axis=-1).reshape(v, head_dim * k)
+    return denom, weighted
+
+
 def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
                  v: int, k: int):
     """(denom, weighted, expd_o, slope_o) of one launch under a GIVEN
@@ -941,9 +973,12 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
     in-register recompute: it pays the gathers exactly once."""
     head_dim = table.shape[1] // k
     expd_f, _ = pair_attention_expd(scores, m_safe, *fwd_plan, v, k)
-    denom, weighted = pair_attention_agg(
-        table, expd_f, *fwd_plan, v, k,
-    )
+    if head_dim + 1 <= TILE:
+        denom, weighted = _headmajor_sums(table, expd_f, fwd_plan, v, k)
+    else:
+        denom, weighted = pair_attention_agg(
+            table, expd_f, *fwd_plan, v, k,
+        )
     p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     expd_o = jnp.where(
