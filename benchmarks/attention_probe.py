@@ -25,11 +25,13 @@ def main():
     from tf2_gnn_tpu.ops import pair_attention as pa
     from tf2_gnn_tpu.ops import pair_spmm as ps
 
+    import os
+
     batch, labels, edges = build_batch(0, use_pallas=False)
     v = batch.num_nodes_padded
     num_types = len(batch.edge_sources)
     rows = num_types * v
-    k = 4
+    k = int(os.environ.get("PROBE_HEADS", "4"))
     h = 320
 
     plans = ps.build_pair_plans(
@@ -61,7 +63,7 @@ def main():
     m_safe = pa._stabilise(maxes, scores.dtype)
     m_safe = jax.block_until_ready(m_safe)
 
-    which = sys.argv[1:] or ["max", "expd", "agg", "fwd", "grad"]
+    which = sys.argv[1:] or ["max", "expd", "agg", "hm", "fwd", "grad"]
     if "max" in which:
         def chain_m(o):
             s = scores + o[0, :1].astype(scores.dtype) * 0
@@ -89,6 +91,16 @@ def main():
         dt = timed(with_force(chain_a, lambda r: r[0, :8]),
                    jnp.zeros((v, h), jnp.float32))
         print(f"attn agg        {dt*1e3:8.3f} ms", flush=True)
+    if "hm" in which:
+        # Head-major K-launch pair_spmm alternative to the agg kernel
+        # (pair_attention.py::_headmajor_sums) at the same inputs.
+        def chain_h(o):
+            t = table + o[0, :1].astype(table.dtype) * 0
+            return pa._headmajor_sums(t, expd_f, fwd_plan, v, k)[1][:, :h]
+
+        dt = timed(with_force(chain_h, lambda r: r[0, :8]),
+                   jnp.zeros((v, h), jnp.float32))
+        print(f"attn headmajor  {dt*1e3:8.3f} ms", flush=True)
     if "fwd" in which:
         def chain_f(o):
             t = table + o[0, :1].astype(table.dtype) * 0

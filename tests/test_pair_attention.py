@@ -92,6 +92,38 @@ def test_pair_attention_matches_dense_reference(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pair_attention_bf16_error_bound():
+    """Full fused forward on bf16 streams vs the float64 dense reference:
+    pins the bf16-table error bound of the SHIPPED configuration. The
+    head-major path's denominators inherit stream-dtype rounding (~0.4%
+    relative per expd term, partially cancelling between numerator and
+    denominator of the normalised weights); softmax statistics themselves
+    are computed in f32 off exact bf16 inputs."""
+    rng = np.random.RandomState(11)
+    v, num_types, k, head_dim = 256, 3, 4, 8
+    plans, table, scores, src_rows, tgt_nodes = _build(
+        rng, v, num_types, k, head_dim)
+    table_bf = jnp.asarray(table).astype(jnp.bfloat16)
+    scores_bf = jnp.asarray(scores).astype(jnp.bfloat16)
+    denom, weighted = pa.pair_attention(
+        table_bf, scores_bf, *plans.kernel_arrays, v, k)
+    denom_ref, weighted_ref = _dense_reference(
+        np.asarray(table_bf, np.float64), np.asarray(scores_bf, np.float64),
+        src_rows, tgt_nodes, v, k)
+    # bf16 has ~2-3 significant decimal digits; the segment sums accumulate
+    # in f32, so the bound is a small multiple of one bf16 ulp.
+    np.testing.assert_allclose(np.asarray(denom, np.float64), denom_ref,
+                               rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(weighted, np.float64), weighted_ref,
+                               rtol=2e-2, atol=5e-2)
+    # The NORMALISED attention output (what the layer consumes) cancels the
+    # shared rounding of numerator and denominator — tighter bound.
+    norm = np.asarray(weighted, np.float64) / (
+        np.tile(np.asarray(denom, np.float64), (1, head_dim)) + 1e-7)
+    norm_ref = weighted_ref / (np.tile(denom_ref, (1, head_dim)) + 1e-7)
+    np.testing.assert_allclose(norm, norm_ref, rtol=2e-2, atol=2e-2)
+
+
 def test_pair_attention_overflow_spill_exact():
     """Spilled edges must join the same softmax (max AND denominator)."""
     rng = np.random.RandomState(3)
@@ -240,7 +272,8 @@ def test_rgat_pair_applicability_gate():
 def test_pair_attention_kernels_match_twins_on_tpu():
     rng = np.random.RandomState(0)
     v, num_types, k, head_dim = 512, 3, 8, 40
-    plans, table, scores, _, _ = _build(rng, v, num_types, k, head_dim)
+    plans, table, scores, src_rows, tgt_nodes = _build(
+        rng, v, num_types, k, head_dim)
     table = jnp.asarray(table)
     scores = jnp.asarray(scores)
     args = plans.kernel_arrays
@@ -276,12 +309,27 @@ def test_pair_attention_kernels_match_twins_on_tpu():
     for name, x, y in zip(("d_ss", "d_ts", "d_table"), d3, r3):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
+    # The COMPOSED production forward (head_dim=40 here routes through
+    # _headmajor_sums + pair_spmm on device) vs the dense reference — the
+    # shipped path, not just its per-kernel pieces.
+    denom_d, weighted_d = jax.jit(
+        lambda t, s: pa.pair_attention(t, s, *plans.kernel_arrays, v, k)
+    )(table, scores)
+    denom_ref, weighted_ref = _dense_reference(
+        np.asarray(table), np.asarray(scores), src_rows, tgt_nodes, v, k)
+    np.testing.assert_allclose(np.asarray(denom_d), denom_ref,
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(weighted_d), weighted_ref,
+                               rtol=5e-3, atol=5e-2)
 
 
 def test_pair_attention_applicable_rejects_many_heads():
-    """Head counts above ACC_W cannot ride the kernels' head-column tiling
-    and must fall back to the sorted-scatter path."""
+    """Head counts above 8 cannot ride the kernels' head-column tiling
+    (K=16 additionally blows Mosaic's scoped-VMEM stack at production
+    scale) and must fall back to the sorted-scatter path."""
     assert pa.pair_attention_applicable(
+        1536, 512, 320, 8, jnp.bfloat16, jnp.bfloat16)
+    assert not pa.pair_attention_applicable(
         1536, 512, 320, 16, jnp.bfloat16, jnp.bfloat16)
     assert not pa.pair_attention_applicable(
         1536, 512, 320, 32, jnp.bfloat16, jnp.bfloat16)

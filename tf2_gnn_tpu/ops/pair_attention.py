@@ -103,9 +103,12 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
         return False
     # The kernels tile the K head columns up to ACC_W lanes
     # (pltpu.repeat(e_k, ACC_W // k)) and the fused backward's augmented
-    # layout requires _expd_width(k) == ACC_W — more heads must fall back
-    # to the sorted-scatter path.
-    if num_heads > ACC_W:
+    # layout requires _expd_width(k) == ACC_W. K=16 additionally blows
+    # Mosaic's 16 MiB scoped-VMEM stack at production scale (measured
+    # 2026-08-19: the max kernel's narrow [BLK, 16] output windowing OOMs
+    # by 5.8 MiB at rows=24k) — heads above 8 fall back to the
+    # sorted-scatter path.
+    if num_heads > min(ACC_W, 8):
         return False
     if num_nodes % BLK or rows % BLK:
         return False
@@ -289,7 +292,8 @@ def pair_attention_max(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 # ---------------------------------------------------------------------------
 
 def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
-                        num_nodes: int, num_heads: int, swap: bool):
+                        num_nodes: int, num_heads: int, swap: bool,
+                        with_slope: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -304,7 +308,14 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     v_blocks = v // BLK
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
-               maxes_hbm, expd_ref, slope_ref, sc_vmem, mx_vmem, sem1, sem2):
+               maxes_hbm, *out_and_scratch):
+        if with_slope:
+            expd_ref, slope_ref = out_and_scratch[:2]
+            sc_vmem, mx_vmem, sem1, sem2 = out_and_scratch[2:]
+        else:
+            expd_ref = out_and_scratch[0]
+            slope_ref = None
+            sc_vmem, mx_vmem, sem1, sem2 = out_and_scratch[1:]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -346,12 +357,16 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
             valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
             expd = jnp.where(valid, jnp.exp(logit - mx), 0.0)
-            slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
             expd_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
                 expd, w // k, axis=1)
-            slope_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
-                slope, w // k, axis=1)
+            if with_slope:
+                slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
+                slope_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
+                    slope, w // k, axis=1)
 
+    stream_spec = pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
+                               memory_space=pltpu.VMEM)
+    stream_shape = jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_groups,),
@@ -363,12 +378,8 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=((stream_spec, stream_spec) if with_slope
+                   else (stream_spec,)),
         scratch_shapes=[
             pltpu.VMEM((rows, k2), scores.dtype),
             pltpu.VMEM((num_nodes, k), jnp.float32),
@@ -376,45 +387,52 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
-            jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32),
-        ),
+        out_shape=((stream_shape, stream_shape) if with_slope
+                   else (stream_shape,)),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
       jnp.asarray(rel_tgt), scores, maxes)
+    return out if with_slope else (out[0], None)
 
 
 def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
-                     num_nodes: int, num_heads: int, swap: bool):
+                     num_nodes: int, num_heads: int, swap: bool,
+                     with_slope: bool):
     w = _expd_width(num_heads)
     p, logit, tgt, _, valid = _slot_logits_jnp(
         scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap)
     mx = jnp.take(maxes, tgt, axis=0, mode="clip")
     expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
+    rep = w // num_heads
+    if not with_slope:
+        return jnp.tile(expd, (1, rep)), None
     # Contract: slope is 1.0 on invalid slots (the device kernel's all-zero
     # one-hot rows give p = 0 there); consumers multiply by expd = 0 anyway.
     slope = jnp.where(jnp.logical_and(valid[:, None], p < 0),
                       LEAKY_SLOPE, 1.0)
-    rep = w // num_heads
     return jnp.tile(expd, (1, rep)), jnp.tile(slope, (1, rep))
 
 
 def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool = False,
-                        interpret=None):
+                        interpret=None, with_slope: bool = True):
     """Per-slot (expd, slope) in the slot order of the given plan direction,
     TILE-wide f32 (column w = head ``w % num_heads``; a narrow [slots, K]
     array would be lane-padded to 128 in HBM anyway, and f32 avoids
     pack/unpack relayouts at the store/load sites).
-    ``maxes`` must already include overflow-edge contributions."""
+    ``maxes`` must already include overflow-edge contributions.
+    ``with_slope=False`` drops the slope output entirely (slope is None):
+    Pallas outputs are not DCE'd, so a consumer that never reads the slope
+    (the production forward — the fused backward recomputes it in-register)
+    would otherwise pay its full HBM write traffic (~23 MB/layer at the PPI
+    bench shape)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _expd_kernel_jnp if interpret else _expd_kernel_device
     return fn(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
-              num_nodes, num_heads, swap)
+              num_nodes, num_heads, swap, with_slope)
 
 # ---------------------------------------------------------------------------
 # Kernel B: softmax denominators + exp-weighted message sums (forward plan,
@@ -543,8 +561,10 @@ def _agg_kernel_device(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
         input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * num_chunks * (2 * BLK * E_C * TILE) * h_tiles,
+            # The expd stream is always f32 (4 bytes/lane) regardless of the
+            # table dtype.
             bytes_accessed=rows * h * table.dtype.itemsize
-            + num_chunks * E_C * (8 + w * table.dtype.itemsize) + v * h * 4,
+            + num_chunks * E_C * (8 + w * 4) + v * h * 4,
             transcendentals=0,
         ),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
@@ -917,6 +937,32 @@ def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int):
     return jnp.maximum(m_k, jnp.maximum(m_o, NEG))
 
 
+def _bound_stabiliser(scores, v: int, k: int):
+    """[V, K] upper bound on the per-(target, head) max logit, computed in
+    NODE SPACE with two tiny dense reduces — no kernel pass over the edge
+    plans at all (the exact max kernel costs ~2.5 ms/layer at the PPI bench
+    shape, ~30%% of the attention forward):
+
+        m̂[t, j] = leaky(max over types l of (max over sources u of
+                         ss[l*V+u, j]) + ts[l*V+t, j])
+                 >= max over real in-edges (u -> t) of leaky(ss + ts).
+
+    Softmax is shift-invariant, so the NORMALISED attention output is exact
+    under ANY stabiliser >= the true max; only the unnormalised
+    (denom, weighted) pair scales by exp(max - m̂). The bound can only be
+    loose by (global source max - in-neighbourhood source max) per type;
+    denominators underflow f32 only when that looseness exceeds ~87
+    log-units — far beyond trained score ranges. expd <= 1 always (no
+    overflow). Pad heads (source half 0, target half NEG) still produce
+    p_bound = NEG -> clamped by _stabilise exactly like the exact max."""
+    num_types = scores.shape[0] // v
+    ss = scores[:, :k].astype(jnp.float32).reshape(num_types, v, k)
+    ts = scores[:, k:2 * k].astype(jnp.float32).reshape(num_types, v, k)
+    smax = jnp.max(ss, axis=1)                        # [L, K]
+    p_bound = jnp.max(smax[:, None, :] + ts, axis=0)  # [V, K]
+    return jnp.where(p_bound >= 0, p_bound, LEAKY_SLOPE * p_bound)
+
+
 def _stabilise(m, stream_dtype):
     """Finite softmax stabiliser rounded to the STREAM dtype: the backward
     kernel reads it through its bundled (stream-dtype) cotangent gather, and
@@ -972,8 +1018,18 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
     trip (~46 MB/layer at ~740 GB/s). The fused BACKWARD kernel keeps the
     in-register recompute: it pays the gathers exactly once."""
     head_dim = table.shape[1] // k
-    expd_f, _ = pair_attention_expd(scores, m_safe, *fwd_plan, v, k)
-    if head_dim + 1 <= TILE:
+    expd_f, _ = pair_attention_expd(scores, m_safe, *fwd_plan, v, k,
+                                    with_slope=False)
+    # Measured cost model (TPU v5e, PPI bench shape, 2026-08-19): one
+    # head-major pair_spmm launch sweeps the chunk plan once (~0.32
+    # ms/launch at 2800 chunks) while one agg-kernel feature tile costs
+    # ~1.87 ms/sweep (f32 message materialisation + per-chunk pack
+    # relayout + denominator work) — a ~6x per-sweep ratio. Route to
+    # head-major when its k sweeps beat the agg kernel's h_tiles sweeps
+    # with a conservative factor-4 margin (K=4: 4.4x measured win, K=8:
+    # 2.3x; K > 4*h_tiles keeps the single-kernel hk-major sweep).
+    h_tiles = max(-(-table.shape[1] // TILE), 1)
+    if head_dim + 1 <= TILE and k <= 4 * h_tiles:
         denom, weighted = _headmajor_sums(table, expd_f, fwd_plan, v, k)
     else:
         denom, weighted = pair_attention_agg(
