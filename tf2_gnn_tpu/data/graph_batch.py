@@ -139,6 +139,16 @@ class GraphBatch:
         return self.node_features.shape[0]
 
     @property
+    def pair_src_space(self) -> int:
+        """Row count of ONE edge type's source table for the pair kernels:
+        the ext row space ``[local | halo slabs]`` under SPMD-halo (pair
+        plans are built with ext-local source ids), the padded node count
+        otherwise."""
+        if self.halo_mode and self.halo_ext_nodes is not None:
+            return self.halo_ext_nodes
+        return self.num_nodes_padded
+
+    @property
     def num_edge_types(self) -> int:
         return len(self.edge_sources)
 

@@ -49,6 +49,8 @@ def partition_graph(
     graph_labels: Optional[Dict[str, np.ndarray]] = None,
     num_graphs_padded: Optional[int] = None,
     build_scatter_plans: bool = False,
+    build_pair_plans: bool = False,
+    pair_merge_targets: bool = False,
     halo="auto",
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
@@ -72,7 +74,13 @@ def partition_graph(
     per-layer all_gather.
     """
     num_nodes = node_features.shape[0]
-    if build_scatter_plans:
+    if build_pair_plans and not halo:
+        raise ValueError(
+            "build_pair_plans requires a halo form (the pair kernels consume "
+            "ext-local source ids; the legacy all_gather path has no ext row "
+            "space). Use build_scatter_plans for halo=False."
+        )
+    if build_scatter_plans or build_pair_plans:
         # The Pallas kernels tile node rows in BLOCK_NODES blocks.
         from ..ops.spmm_pallas import BLOCK_NODES
 
@@ -252,6 +260,48 @@ def partition_graph(
             for i in range(len(per_shard_plans[0]))
         )
 
+    pair_plans = None
+    if build_pair_plans:
+        # Per-shard block-pair plans over the EXT-LOCAL source row space
+        # ``l * ext_nodes + u`` ([local | halo slabs]) — the gather-free fast
+        # path (ops/pair_spmm.py) composed with the boundary halo exchange:
+        # every MP layer runs the same kernels as single-chip, the halo
+        # collective still overlaps the local node-space transforms (the
+        # plans consume the self-assembled ext tables), and targets stay
+        # local. All shards share one (max) chunk/overflow budget so the
+        # plan arrays stack on the mesh axis.
+        from ..ops.pair_spmm import BWD_GROUP, GROUP
+        from ..ops.pair_spmm import build_pair_plans as _build_pair_plans
+        from ..ops.pair_spmm import measure_pair_chunks
+
+        def shard_edges_args(s_):
+            return (
+                [sources[t][s_] for t in range(num_types)],
+                [targets[t][s_] for t in range(num_types)],
+                [int(num_edges[s_, t]) for t in range(num_types)],
+            )
+
+        cf = cb = 0
+        for s_ in range(num_shards):
+            mf, mb = measure_pair_chunks(
+                *shard_edges_args(s_), nodes_per_shard, src_space=ext_nodes,
+                merge_targets=pair_merge_targets,
+            )
+            cf = max(cf, _round_up(mf, GROUP))
+            cb = max(cb, _round_up(mb, BWD_GROUP))
+        per_shard_pair = []
+        for s_ in range(num_shards):
+            plans = _build_pair_plans(
+                *shard_edges_args(s_), nodes_per_shard, src_space=ext_nodes,
+                chunk_budget_fwd=cf, chunk_budget_bwd=cb,
+                overflow_budget=64, merge_targets=pair_merge_targets,
+            )
+            per_shard_pair.append(plans.astuple())
+        pair_plans = tuple(
+            np.stack([p[i] for p in per_shard_pair], axis=0)
+            for i in range(len(per_shard_pair[0]))
+        )
+
     from ..data.graph_batch import host_in_degrees
 
     in_degrees = np.stack([
@@ -272,6 +322,8 @@ def partition_graph(
         spmd_axis=axis_name,
         spmd_num_shards=num_shards,
         scatter_plans=scatter_plans,
+        pair_plans=pair_plans,
+        pair_targets_merged=bool(pair_plans is not None and pair_merge_targets),
         in_degrees=in_degrees,
         halo_send_idx=halo_send_idx,
         halo_ext_nodes=ext_nodes,
