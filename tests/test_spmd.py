@@ -358,6 +358,104 @@ def test_spmd_fused_train_step_matches_single_device():
                                    atol=5e-4)
 
 
+@pytest.mark.parametrize(
+    "flavour,merge,halo_form",
+    [("rgcn", False, "dense"), ("rgcn", False, "ring"),
+     ("ggnn", False, "dense"), ("rgin", False, "dense"),
+     ("gnn_edge_mlp", True, "dense"), ("gnn_film", True, "ring")],
+)
+def test_spmd_pair_path_matches_single_device(flavour, merge, halo_form):
+    extra = ({"gnn_num_edge_MLP_hidden_layers": 0}
+             if flavour == "gnn_edge_mlp" else {})
+    _run_spmd_pair_case(flavour, merge, halo_form, extra)
+
+
+def _run_spmd_pair_case(flavour, merge, halo_form, extra):
+    """Node-partitioned execution on the BLOCK-PAIR kernels: per-shard pair
+    plans over the ext halo row space route every shard through the same
+    gather-free fast path as single-chip (VERDICT r2 item 1). The patch
+    counter proves the pair kernel actually runs — a silent fallback to the
+    sorted-scatter path would still be numerically correct."""
+    from unittest import mock
+
+    import tf2_gnn_tpu.ops.pair_spmm as ps
+
+    nf, adj, n2g, g = _giant_graph(num_nodes=200, seed=21)
+    params = _model_params(NodeMulticlassTask, flavour, **extra)
+    model = NodeMulticlassTask.from_params(params)
+
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4, halo=halo_form,
+                                 build_pair_plans=True,
+                                 pair_merge_targets=merge)
+    assert sharded.pair_plans is not None and sharded.halo_mode
+    assert sharded.pair_targets_merged == merge
+    # Plan arrays are stacked on the mesh axis (one slice per shard).
+    assert all(p.shape[0] == NUM_SHARDS for p in sharded.pair_plans)
+
+    calls = []
+    orig = ps.pair_typed_gather_scatter
+
+    def counted(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(ps, "pair_typed_gather_scatter", counted):
+        (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
+                                                        sharded)
+    assert calls, f"{flavour}: pair kernel never ran under SPMD"
+    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    np.testing.assert_allclose(
+        np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_spmd_pair_train_step_matches_single_device():
+    """Gradients through the pair kernels' custom VJPs compose with the halo
+    collective transpose: one SGD step on the pair-SPMD path lands on the
+    same parameters as the single-device step."""
+    nf, adj, n2g, g = _giant_graph(num_nodes=200, seed=13)
+    labels_np = (np.random.RandomState(2).rand(nf.shape[0], 121) > 0.9).astype(
+        np.float32
+    )
+    params = _model_params(NodeMulticlassTask, "rgcn")
+    params.update({"optimizer": "SGD", "momentum": 0.0, "learning_rate": 0.05})
+    model = NodeMulticlassTask.from_params(params)
+    optimizer = make_optimizer(params)
+
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    from tf2_gnn_tpu.data.graph_batch import pad_node_label_array
+
+    single_labels = {
+        "node_labels": pad_node_label_array(labels_np, single.num_nodes_padded)
+    }
+    state_a = create_train_state(model, single, optimizer, seed=0)
+    state_a, m_a = make_train_step(model, optimizer)(state_a, single,
+                                                     single_labels)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, sharded_labels = partition_graph(
+        nf, adj, n2g, g, NUM_SHARDS, num_graphs_padded=4,
+        node_labels={"node_labels": labels_np}, build_pair_plans=True,
+    )
+    assert sharded.pair_plans is not None
+    state_b = create_train_state(model, single, optimizer, seed=0)
+    state_b, m_b = make_spmd_train_step(model, optimizer, mesh)(
+        state_b, sharded, sharded_labels
+    )
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-3,
+                                   atol=5e-4)
+
+
 @pytest.mark.parametrize("flavour", ["rgcn", "rgat"])
 def test_spmd_legacy_allgather_matches_single_device(flavour):
     """halo=False keeps the round-1 global-source + per-layer all_gather

@@ -138,8 +138,8 @@ class GNN_Edge_MLP(MessagePassing):
         )
 
     def _pair_path_applicable(self, batch: GraphBatch, tables) -> bool:
-        """The gather-free block-pair kernel needs plans, a VMEM-resident
-        table tile, and (for now) the non-SPMD path."""
+        """The gather-free block-pair kernel needs plans and a VMEM-resident
+        table tile."""
         return self._pair_path_applicable_static(
             batch, tables.shape[0], tables.dtype
         )
@@ -148,17 +148,23 @@ class GNN_Edge_MLP(MessagePassing):
                                      dtype) -> bool:
         """Shape-only variant of ``_pair_path_applicable`` — callable BEFORE
         any parameters exist (flax disallows creating the same named module
-        twice in one trace, so fallback decisions must precede creation)."""
+        twice in one trace, so fallback decisions must precede creation).
+
+        Under SPMD the pair path requires the halo form: partition_graph
+        builds per-shard plans over the ext-local source row space
+        ``[local | halo slabs]`` (parallel/spmd.py), so every shard runs the
+        SAME gather-free kernels as single-chip on its own slice."""
         from ...ops.pair_spmm import pair_kernel_applicable
 
-        if batch.spmd_axis is not None:
+        if batch.spmd_axis is not None and not batch.halo_mode:
             return False
         if batch.pair_plans is not None:
             return pair_kernel_applicable(rows, dtype)
-        # Per-type plans: each launch's resident table is ONE type's [V]
-        # rows, regardless of the stacked table's total row count.
+        # Per-type plans: each launch's resident table is ONE type's rows
+        # (the per-type source row space), regardless of the stacked table's
+        # total row count.
         return (batch.pair_plans_typed is not None
-                and pair_kernel_applicable(batch.num_nodes_padded, dtype))
+                and pair_kernel_applicable(batch.pair_src_space, dtype))
 
     def _pair_kernel_out(self, tables: jnp.ndarray, batch: GraphBatch,
                          normalize: bool) -> jnp.ndarray:
@@ -177,9 +183,10 @@ class GNN_Edge_MLP(MessagePassing):
         v = batch.num_nodes_padded
         if batch.pair_plans is None:
             # Row-split form: one single-type launch per edge type (each
-            # resident table is [V] rows); the stacked result is the
-            # per-type aggregate array [L*V, H].
-            tables_t = tables.reshape(batch.num_edge_types, v, -1)
+            # resident table is one type's source rows); the stacked result
+            # is the per-type aggregate array [L*V, H].
+            tables_t = tables.reshape(
+                batch.num_edge_types, batch.pair_src_space, -1)
             outs = []
             for t, plans in enumerate(batch.pair_plans_typed):
                 if normalize:
@@ -244,7 +251,7 @@ class GNN_Edge_MLP(MessagePassing):
         per_type_out = (batch.pair_targets_merged
                         or batch.pair_plans_typed is not None)
         if not (per_type_out and self._pair_path_applicable_static(
-                batch, num_types * v, stream_dtype)):
+                batch, num_types * batch.pair_src_space, stream_dtype)):
             return None
 
         if not self.use_target_state_as_input:
@@ -258,11 +265,15 @@ class GNN_Edge_MLP(MessagePassing):
         from ...utils.constants import SMALL_NUMBER
 
         in_dim = node_states.shape[-1]
+        # Under SPMD-halo ``node_states`` are the pre-exchanged EXT states
+        # ([local | halo slabs] rows — this form is not halo-overlap-capable,
+        # base.py:282): the source half spans the ext row space the plans
+        # address; the target half only needs the local rows.
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_src_0")(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states)
-        src_flat = src_half.reshape(num_types * v, -1)
+                               name="edge_mlp_tgt_0")(node_states[:v])
+        src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
         agg = self._pair_typed_aggregates(
@@ -363,7 +374,7 @@ class GNN_Edge_MLP(MessagePassing):
                 else jnp.float32
             )
             use_pair = self._pair_path_applicable_static(
-                batch, num_types * v, stream_dtype
+                batch, num_types * batch.pair_src_space, stream_dtype
             )
             if not use_pair and batch.scatter_plans is None:
                 return None
