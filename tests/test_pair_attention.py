@@ -92,6 +92,73 @@ def test_pair_attention_matches_dense_reference(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_bound_stabiliser_dominates_true_max():
+    """m̂ >= the true per-(target, head) max logit on every target with
+    in-edges — the property that makes the normalised output exact and
+    keeps expd <= 1 (no overflow)."""
+    rng = np.random.RandomState(7)
+    v, num_types, k = 256, 3, 4
+    plans, table, scores, src_rows, tgt_nodes = _build(rng, v, num_types, k, 8)
+    m_hat = np.asarray(pa._bound_stabiliser(jnp.asarray(scores), v, k))
+    ltype = src_rows // v
+    p = (scores[src_rows, :k].astype(np.float64)
+         + scores[ltype * v + tgt_nodes, k:].astype(np.float64))
+    logit = np.where(p >= 0, p, pa.LEAKY_SLOPE * p)
+    m_true = np.full((v, k), pa.NEG, np.float64)
+    np.maximum.at(m_true, tgt_nodes, logit)
+    has_edges = m_true > 0.5 * pa.NEG
+    assert np.all(m_hat[has_edges] >= m_true[has_edges] - 1e-5)
+
+
+@pytest.mark.parametrize("form", ["merged", "typed"])
+def test_bound_stabiliser_matches_exact_normalised(form):
+    """The 'bound' stabiliser must reproduce the 'exact' path's NORMALISED
+    attention output and its gradients (softmax shift invariance); only the
+    unnormalised (denom, weighted) pair scales by exp(max - m̂)."""
+    rng = np.random.RandomState(5)
+    v, num_types, k, head_dim = 256, 3, 4, 8
+    if form == "merged":
+        plans, table, scores, _, _ = _build(rng, v, num_types, k, head_dim)
+
+        def run(table_, scores_, stab):
+            return pa.pair_attention(
+                table_, scores_, *plans.kernel_arrays, v, k, stab)
+    else:
+        srcs, tgts, counts = _random_edges(rng, num_types, v)
+        plans_typed = tuple(
+            ps.build_pair_plans([s], [t], [c], v).astuple()
+            for s, t, c in zip(srcs, tgts, counts)
+        )
+        table = rng.randn(num_types * v, head_dim * k).astype(np.float32)
+        scores = (0.5 * rng.randn(num_types * v, 2 * k)).astype(np.float32)
+
+        def run(table_, scores_, stab):
+            return pa.pair_attention_typed(table_, scores_, plans_typed,
+                                           v, k, stab)
+
+    def normalised(table_, scores_, stab):
+        denom, weighted = run(table_, scores_, stab)
+        return weighted / (jnp.tile(denom, (1, head_dim)) + 1e-7)
+
+    t = jnp.asarray(table)
+    s = jnp.asarray(scores)
+    out_exact = normalised(t, s, "exact")
+    out_bound = normalised(t, s, "bound")
+    np.testing.assert_allclose(np.asarray(out_bound), np.asarray(out_exact),
+                               rtol=1e-4, atol=1e-5)
+
+    cot = jnp.asarray(rng.randn(*out_exact.shape).astype(np.float32))
+
+    def loss(table_, scores_, stab):
+        return jnp.vdot(normalised(table_, scores_, stab), cot)
+
+    g_exact = jax.grad(loss, argnums=(0, 1))(t, s, "exact")
+    g_bound = jax.grad(loss, argnums=(0, 1))(t, s, "bound")
+    for ge, gb, name in zip(g_exact, g_bound, ("d_table", "d_scores")):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ge),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
 def test_pair_attention_bf16_error_bound():
     """Full fused forward on bf16 streams vs the float64 dense reference:
     pins the bf16-table error bound of the SHIPPED configuration. The

@@ -27,11 +27,19 @@ from .typed_linear import TypedLinear
 @register_message_passing_implementation
 class RGAT(MessagePassing):
     num_heads: int = 3
+    # Softmax stabiliser of the pair-attention path: "bound" computes a
+    # node-space upper bound on the per-(target, head) max logit with two
+    # tiny dense reduces (ops/pair_attention.py::_bound_stabiliser) — the
+    # NORMALISED attention output is exact under any stabiliser >= the true
+    # max (shift invariance), and the exact max kernel's full pass over the
+    # edge plans (~2.5 ms/layer at the PPI bench shape) disappears.
+    # "exact" restores the max kernel.
+    attention_stabiliser: str = "bound"
 
     @classmethod
     def get_default_hyperparameters(cls) -> Dict[str, Any]:
         params = super().get_default_hyperparameters()
-        params.update({"num_heads": 3})
+        params.update({"num_heads": 3, "attention_stabiliser": "bound"})
         return params
 
     def _padded_heads(self) -> int:
@@ -126,13 +134,15 @@ class RGAT(MessagePassing):
 
         if batch.pair_plans is not None:
             denom, weighted = pair_attention(
-                table_hk, scores, *batch.pair_plans[:10], v, k_pad
+                table_hk, scores, *batch.pair_plans[:10], v, k_pad,
+                self.attention_stabiliser,
             )
         else:
             # Row-split form: one single-type launch per edge type (the
             # joint softmax stabiliser spans all launches).
             denom, weighted = pair_attention_typed(
-                table_hk, scores, batch.pair_plans_typed, v, k_pad
+                table_hk, scores, batch.pair_plans_typed, v, k_pad,
+                self.attention_stabiliser,
             )
         weighted = weighted / (jnp.tile(denom, (1, head_dim)) + SMALL_NUMBER)
         # Drop pad heads and restore the reference's concat-head layout.

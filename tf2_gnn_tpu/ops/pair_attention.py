@@ -898,7 +898,7 @@ def _overflow_logits(scores, ovf_src, ovf_tgt, num_nodes: int):
     return p, logit, valid
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def pair_attention(
     table_hk: jnp.ndarray,      # [L*V, H] transformed states, HK-MAJOR heads
     scores: jnp.ndarray,        # [L*V, 2K] packed (src | tgt) score halves
@@ -907,20 +907,27 @@ def pair_attention(
     ovf_src, ovf_tgt,
     num_nodes: int,
     num_heads: int,
+    stabiliser: str = "exact",
 ):
     """Fused relational multi-head attention aggregation on pair plans:
 
         denom[v, k]         = sum over edges e=(u -> v) of expd_e[k]
         weighted[v, hd*K+k] = sum over edges e of expd_e[k] * table[row_e, .]
 
-    with ``expd_e = exp(LeakyReLU(ss[row_e] + ts[l_e*V + v]) - max_v)`` and
-    the max taken per (target, head) over ALL edge types jointly (reference
-    rgat.py:139-151). The caller divides and re-layouts heads. Pass plan
-    arrays from ``PairPlans.kernel_arrays``.
+    with ``expd_e = exp(LeakyReLU(ss[row_e] + ts[l_e*V + v]) - m_v)`` and
+    ``m`` the per-(target, head) softmax stabiliser over ALL edge types
+    jointly (reference rgat.py:139-151). The caller divides and re-layouts
+    heads. Pass plan arrays from ``PairPlans.kernel_arrays``.
+
+    ``stabiliser`` picks how ``m`` is computed (softmax is shift-invariant,
+    so the NORMALISED output is identical for any m >= the true max):
+    ``"exact"`` runs the max kernel over the edge plans; ``"bound"`` uses
+    the node-space upper bound (_bound_stabiliser) and skips that kernel
+    pass entirely.
     """
     denom, weighted, _ = _pair_attention_fwd_parts(
         table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        ovf_src, ovf_tgt, num_nodes, num_heads,
+        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser,
     )
     return denom, weighted
 
@@ -953,8 +960,10 @@ def _bound_stabiliser(scores, v: int, k: int):
     loose by (global source max - in-neighbourhood source max) per type;
     denominators underflow f32 only when that looseness exceeds ~87
     log-units — far beyond trained score ranges. expd <= 1 always (no
-    overflow). Pad heads (source half 0, target half NEG) still produce
-    p_bound = NEG -> clamped by _stabilise exactly like the exact max."""
+    overflow). Pad heads (source half 0, target half NEG) produce
+    p_bound = LEAKY_SLOPE * NEG — the same huge-negative finite stabiliser
+    the exact max yields for them (their garbage output is sliced away by
+    the caller, identically under either stabiliser)."""
     num_types = scores.shape[0] // v
     ss = scores[:, :k].astype(jnp.float32).reshape(num_types, v, k)
     ts = scores[:, k:2 * k].astype(jnp.float32).reshape(num_types, v, k)
@@ -1084,11 +1093,15 @@ def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
 
 def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
                               src_blk_f, grp_tgt_f, ovf_src, ovf_tgt,
-                              num_nodes: int, num_heads: int):
+                              num_nodes: int, num_heads: int,
+                              stabiliser: str = "exact"):
     v = num_nodes
     k = num_heads
     fwd_plan = (rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f)
-    m = _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v, k)
+    if stabiliser == "bound":
+        m = _bound_stabiliser(scores, v, k)
+    else:
+        m = _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v, k)
     m_safe = _stabilise(m, table_hk.dtype)
     denom, weighted, expd_o, slope_o = _launch_sums(
         table_hk, scores, m_safe, fwd_plan, ovf_src, ovf_tgt, v, k)
@@ -1097,10 +1110,10 @@ def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
 
 def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
             rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt,
-            num_nodes, num_heads):
+            num_nodes, num_heads, stabiliser):
     denom, weighted, saved = _pair_attention_fwd_parts(
         table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        ovf_src, ovf_tgt, num_nodes, num_heads,
+        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser,
     )
     m_safe, expd_o, slope_o = saved
     res = (table_hk, scores, m_safe, expd_o, slope_o,
@@ -1108,7 +1121,7 @@ def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
     return (denom, weighted), res
 
 
-def _pa_bwd(num_nodes, num_heads, res, g):
+def _pa_bwd(num_nodes, num_heads, stabiliser, res, g):
     (table_hk, scores, m_safe, expd_o, slope_o,
      rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt) = res
     d_denom, d_weighted = g
@@ -1137,28 +1150,35 @@ pair_attention.defvjp(_pa_fwd, _pa_bwd)
 # For graphs whose merged [L*V] tables exceed the kernels' VMEM residency.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def pair_attention_typed(
     table_hk: jnp.ndarray,      # [L*V, H] transformed states, HK-MAJOR heads
     scores: jnp.ndarray,        # [L*V, 2K] packed score halves
     plans_typed,                # tuple of per-type PairPlans.astuple()
     num_nodes: int,
     num_heads: int,
+    stabiliser: str = "exact",
 ):
     """``pair_attention`` semantics over PER-TYPE plans (row-split form)."""
     denom, weighted, _ = _pat_fwd_parts(
-        table_hk, scores, plans_typed, num_nodes, num_heads)
+        table_hk, scores, plans_typed, num_nodes, num_heads, stabiliser)
     return denom, weighted
 
 
-def _pat_fwd_parts(table_hk, scores, plans_typed, v, k):
+def _pat_fwd_parts(table_hk, scores, plans_typed, v, k,
+                   stabiliser: str = "exact"):
     num_types = len(plans_typed)
     tables = table_hk.reshape(num_types, v, -1)
     sc = scores.reshape(num_types, v, -1)
-    m = jnp.full((v, k), NEG, jnp.float32)
-    for l, plans in enumerate(plans_typed):
-        m = jnp.maximum(
-            m, _launch_max(sc[l], plans[:4], plans[8], plans[9], v, k))
+    if stabiliser == "bound":
+        # The bound already spans all types jointly — one dense reduce over
+        # the stacked [L*V, 2K] scores, no per-launch max kernels at all.
+        m = _bound_stabiliser(scores, v, k)
+    else:
+        m = jnp.full((v, k), NEG, jnp.float32)
+        for l, plans in enumerate(plans_typed):
+            m = jnp.maximum(
+                m, _launch_max(sc[l], plans[:4], plans[8], plans[9], v, k))
     m_safe = _stabilise(m, table_hk.dtype)
     denom = jnp.zeros((v, k), jnp.float32)
     weighted = jnp.zeros((v, table_hk.shape[1]), jnp.float32)
@@ -1172,14 +1192,14 @@ def _pat_fwd_parts(table_hk, scores, plans_typed, v, k):
     return denom, weighted, (m_safe, tuple(saved_o))
 
 
-def _pat_fwd(table_hk, scores, plans_typed, num_nodes, num_heads):
+def _pat_fwd(table_hk, scores, plans_typed, num_nodes, num_heads, stabiliser):
     denom, weighted, saved = _pat_fwd_parts(
-        table_hk, scores, plans_typed, num_nodes, num_heads)
+        table_hk, scores, plans_typed, num_nodes, num_heads, stabiliser)
     m_safe, saved_o = saved
     return (denom, weighted), (table_hk, scores, plans_typed, m_safe, saved_o)
 
 
-def _pat_bwd(num_nodes, num_heads, res, g):
+def _pat_bwd(num_nodes, num_heads, stabiliser, res, g):
     table_hk, scores, plans_typed, m_safe, saved_o = res
     d_denom, d_weighted = g
     d_denom = d_denom.astype(jnp.float32)
