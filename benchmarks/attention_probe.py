@@ -85,7 +85,7 @@ def main():
     if "agg" in which:
         def chain_a(o):
             t = table + o[0, :1].astype(table.dtype) * 0
-            return pa.pair_attention_agg(t, expd_f, *fwd_plan,
+            return pa.pair_attention_agg(t, expd_f.T, *fwd_plan,
                                          v, k)[1][:, :h]
 
         dt = timed(with_force(chain_a, lambda r: r[0, :8]),
@@ -101,20 +101,24 @@ def main():
         dt = timed(with_force(chain_h, lambda r: r[0, :8]),
                    jnp.zeros((v, h), jnp.float32))
         print(f"attn headmajor  {dt*1e3:8.3f} ms", flush=True)
+    # Stabiliser of the composed forward/grad stages (PROBE_STABILISER:
+    # "exact" = max kernel pass, "bound" = node-space bound, the production
+    # default — see pair_attention.py::_bound_stabiliser).
+    stab = os.environ.get("PROBE_STABILISER", "bound")
     if "fwd" in which:
         def chain_f(o):
             t = table + o[0, :1].astype(table.dtype) * 0
-            return pa.pair_attention(t, scores, *plan_dev, v, k)[1]
+            return pa.pair_attention(t, scores, *plan_dev, v, k, stab)[1]
 
         dt = timed(with_force(chain_f, lambda r: r[0, :8]),
                    jnp.zeros((v, h), jnp.float32))
-        print(f"attn fwd (max+agg) {dt*1e3:8.3f} ms", flush=True)
+        print(f"attn fwd ({stab}) {dt*1e3:8.3f} ms", flush=True)
     if "grad" in which:
         cot_w = jax.random.normal(jax.random.PRNGKey(2), (v, h), jnp.float32)
         cot_d = jax.random.normal(jax.random.PRNGKey(3), (v, k), jnp.float32)
 
         def loss(t, s):
-            denom, weighted = pa.pair_attention(t, s, *plan_dev, v, k)
+            denom, weighted = pa.pair_attention(t, s, *plan_dev, v, k, stab)
             # Quadratic terms make the cotangents depend on the forward
             # outputs, so XLA cannot dead-code-eliminate the forward
             # kernels out of the gradient chain (with linear vdot losses
@@ -131,7 +135,7 @@ def main():
 
         dt = timed(with_force(chain_g, lambda r: r[0, :8]),
                    jnp.zeros((rows, h), jnp.float32))
-        print(f"attn fwd+bwd (grad) {dt*1e3:8.3f} ms", flush=True)
+        print(f"attn fwd+bwd ({stab}) {dt*1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -137,8 +137,12 @@ def test_bound_stabiliser_matches_exact_normalised(form):
                                            v, k, stab)
 
     def normalised(table_, scores_, stab):
+        # Where-guarded division, as the RGAT layer consumes it: an
+        # additive eps would distort loose-bound targets (the bound path's
+        # denominators sit exp(max - m̂) below the exact path's >= 1).
         denom, weighted = run(table_, scores_, stab)
-        return weighted / (jnp.tile(denom, (1, head_dim)) + 1e-7)
+        d = jnp.tile(denom, (1, head_dim))
+        return jnp.where(d > 0, weighted / jnp.where(d > 0, d, 1.0), 0.0)
 
     t = jnp.asarray(table)
     s = jnp.asarray(scores)
@@ -361,8 +365,10 @@ def test_pair_attention_kernels_match_twins_on_tpu():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_dev), np.asarray(s_ref),
                                rtol=1e-6, atol=1e-6)
-    r = pa.pair_attention_agg(table, e_ref, *f, v, k, interpret=True)
-    d = pa.pair_attention_agg(table, e_ref, *f, v, k, interpret=False)
+    # The agg kernel consumes the legacy [slots, W] stream layout; the
+    # expd stream is transposed [W, slots].
+    r = pa.pair_attention_agg(table, e_ref.T, *f, v, k, interpret=True)
+    d = pa.pair_attention_agg(table, e_ref.T, *f, v, k, interpret=False)
     for x, y in zip(jax.tree.leaves(d), jax.tree.leaves(r)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-3)

@@ -83,10 +83,14 @@ class GraphDataset(ABC):
             # Additionally build block-pair plans (ops/pair_spmm.py): the
             # gather-free pair kernel replaces gather+scatter with MXU
             # one-hot matmuls and is preferred by the source-table fused
-            # paths. Edges that don't fit the derived chunk budget spill
-            # into an XLA fallback term sized by 'pair_overflow_budget'.
+            # paths. Edges that don't fit the chunk budget spill into an
+            # XLA fallback term with 'pair_overflow_budget' STATIC slots.
+            # The derived budgets are per-dataset maxima, so nothing ever
+            # spills and the default is 0 (padded overflow slots are not
+            # free: 2048 dead slots measured 0.9 ms/layer at the PPI bench
+            # shape). Set it only when forcing smaller chunk budgets.
             "use_pair_spmm": False,
-            "pair_overflow_budget": 2048,
+            "pair_overflow_budget": 0,
             # Build ONE single-type pair plan per edge type over the [V]
             # row space instead of one merged [L*V] plan — the row-split
             # form for graphs whose merged tables exceed the kernels' VMEM
@@ -400,7 +404,8 @@ class GraphDataset(ABC):
                         [sources[t]], [targets[t]], [real_counts[t]], v_pad,
                         chunk_budget_fwd=config.pair_chunks_typed[t][0],
                         chunk_budget_bwd=config.pair_chunks_typed[t][1],
-                        overflow_budget=config.pair_overflow or 2048,
+                        overflow_budget=config.pair_overflow or 0,
+                        overflow_size=config.pair_overflow or 0,
                     ).astuple()
                     for t in range(self.num_edge_types)
                 )
@@ -409,7 +414,8 @@ class GraphDataset(ABC):
                     sources, targets, real_counts, v_pad,
                     chunk_budget_fwd=config.pair_chunks_fwd,
                     chunk_budget_bwd=config.pair_chunks_bwd,
-                    overflow_budget=config.pair_overflow or 2048,
+                    overflow_budget=config.pair_overflow or 0,
+                    overflow_size=config.pair_overflow or 0,
                     merge_targets=pair_targets_merged,
                 ).astuple()
 

@@ -87,7 +87,6 @@ class RGAT(MessagePassing):
             pair_attention,
             pair_attention_typed,
         )
-        from ...utils.constants import SMALL_NUMBER
 
         num_types = batch.num_edge_types
         v = batch.num_nodes_padded
@@ -144,7 +143,18 @@ class RGAT(MessagePassing):
                 table_hk, scores, batch.pair_plans_typed, v, k_pad,
                 self.attention_stabiliser,
             )
-        weighted = weighted / (jnp.tile(denom, (1, head_dim)) + SMALL_NUMBER)
+        # Where-guarded division, NOT +eps: the reference's softmax
+        # (rgat.py:139-151, exp(log_softmax)) has no epsilon — empty targets
+        # contribute exactly 0. An additive eps would also distort
+        # loose-bound targets under the "bound" stabiliser, where the
+        # unnormalised pair scales by exp(max - m̂) and denominators can sit
+        # far below the exact path's >= 1 guarantee.
+        denom_t = jnp.tile(denom, (1, head_dim))
+        weighted = jnp.where(
+            denom_t > 0.0,
+            weighted / jnp.where(denom_t > 0.0, denom_t, 1.0),
+            0.0,
+        )
         # Drop pad heads and restore the reference's concat-head layout.
         out = weighted.reshape(v, head_dim, k_pad)[:, :, :heads]
         return out.transpose(0, 2, 1).reshape(v, self.hidden_dim)

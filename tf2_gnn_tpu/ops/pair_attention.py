@@ -307,25 +307,47 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     num_groups = num_chunks // group
     v_blocks = v // BLK
 
-    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
-               maxes_hbm, *out_and_scratch):
+    # ONE wide augmented score table [rows, 3W] (48 lanes for the shipped
+    # K=4 — still a single 128-lane VMEM tile, so it costs the same 6.2 MB
+    # the old narrow [rows, 2K] scratch already paid in lane padding, vs
+    # 3x that for three separate W-wide scratches, which blew Mosaic's
+    # 16 MiB scoped-VMEM stack at bench scale). Lanes: ss | ts | stabiliser,
+    # every K-column group pre-tiled to the stream width W OUTSIDE the
+    # kernel (the stabiliser additionally tiled over the type axis so any
+    # type slab at target t carries maxes[t]). The per-chunk gather dots
+    # then produce stream-width results directly and ALL vector math runs
+    # wide — the old narrow [E_C, K] ops plus the per-chunk pltpu.repeat
+    # lane-relayout (the measured dominant cost: 786 ns/chunk vs
+    # pair_spmm's 110 on the same chunk structure) are gone; the ts/mx
+    # sections peel off the target-row dot with cheap in-vreg lane shifts.
+    # _stabilise already rounded the maxes to the stream dtype, so storing
+    # them at scores.dtype is exact.
+    num_types = rows // v
+    rep = w // k
+    aug = jnp.concatenate(
+        [jnp.tile(scores[:, :k], (1, rep)),
+         jnp.tile(scores[:, k:2 * k], (1, rep)),
+         jnp.tile(jnp.tile(maxes.astype(scores.dtype), (num_types, 1)),
+                  (1, rep))],
+        axis=1,
+    )
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, aug_hbm,
+               *out_and_scratch):
         if with_slope:
             expd_ref, slope_ref = out_and_scratch[:2]
-            sc_vmem, mx_vmem, sem1, sem2 = out_and_scratch[2:]
+            sc_vmem, sem1 = out_and_scratch[2:]
         else:
             expd_ref = out_and_scratch[0]
             slope_ref = None
-            sc_vmem, mx_vmem, sem1, sem2 = out_and_scratch[1:]
+            sc_vmem, sem1 = out_and_scratch[1:]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            dma1 = pltpu.make_async_copy(scores_hbm, sc_vmem, sem1)
+            dma1 = pltpu.make_async_copy(aug_hbm, sc_vmem, sem1)
             dma1.start()
-            dma2 = pltpu.make_async_copy(maxes_hbm, mx_vmem, sem2)
-            dma2.start()
             dma1.wait()
-            dma2.wait()
 
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         for c in range(group):
@@ -343,30 +365,32 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             tsb = (u_blk * BLK // v) * v_blocks + v_blk
             oh_u = (cols_i == rel_u[:, None]).astype(sc_vmem.dtype)
             oh_v = (cols_i == rel_v[:, None]).astype(sc_vmem.dtype)
-            ss = jnp.dot(oh_u, sc_vmem[pl.ds(u_blk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32,
-                         precision=_prec(sc_vmem.dtype))[:, :k]
-            ts = jnp.dot(oh_v, sc_vmem[pl.ds(tsb * BLK, BLK), :],
-                         preferred_element_type=jnp.float32,
-                         precision=_prec(sc_vmem.dtype))[:, k:2 * k]
-            mx = jnp.dot(oh_v.astype(jnp.float32),
-                         mx_vmem[pl.ds(v_blk * BLK, BLK), :],
-                         preferred_element_type=jnp.float32,
-                         precision=EXACT)
-            p = ss + ts
+            # Transposed-lhs contractions put SLOTS ON LANES: results are
+            # [3W, E_C] — one f32 vreg pair per W-section instead of 16
+            # sublane-majority vregs, and the stream stores are lane-dense.
+            du = jax.lax.dot_general(
+                sc_vmem[pl.ds(u_blk * BLK, BLK), :], oh_u,
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec(sc_vmem.dtype))
+            dv = jax.lax.dot_general(
+                sc_vmem[pl.ds(tsb * BLK, BLK), :], oh_v,
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec(sc_vmem.dtype))
+            p = du[:w, :] + dv[w:2 * w, :]
+            mx = dv[2 * w:3 * w, :]
             logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
-            valid = (rel_s[:, None] < BLK) & (rel_t[:, None] < BLK)
-            expd = jnp.where(valid, jnp.exp(logit - mx), 0.0)
-            expd_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
-                expd, w // k, axis=1)
+            valid = (rel_s[None, :] < BLK) & (rel_t[None, :] < BLK)
+            expd_ref[:, pl.ds(c * E_C, E_C)] = jnp.where(
+                valid, jnp.exp(logit - mx), 0.0)
             if with_slope:
-                slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
-                slope_ref[pl.ds(c * E_C, E_C), :] = pltpu.repeat(
-                    slope, w // k, axis=1)
+                slope_ref[:, pl.ds(c * E_C, E_C)] = jnp.where(
+                    p >= 0, 1.0, LEAKY_SLOPE)
 
-    stream_spec = pl.BlockSpec((group * E_C, w), lambda g, *s: (g, 0),
+    stream_spec = pl.BlockSpec((w, group * E_C), lambda g, *s: (0, g),
                                memory_space=pltpu.VMEM)
-    stream_shape = jax.ShapeDtypeStruct((num_chunks * E_C, w), jnp.float32)
+    stream_shape = jax.ShapeDtypeStruct((w, num_chunks * E_C), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_groups,),
@@ -376,14 +400,11 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
             pl.BlockSpec((group, E_C), lambda g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=((stream_spec, stream_spec) if with_slope
                    else (stream_spec,)),
         scratch_shapes=[
-            pltpu.VMEM((rows, k2), scores.dtype),
-            pltpu.VMEM((num_nodes, k), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((rows, 3 * w), scores.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -393,7 +414,7 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
         out_shape=((stream_shape, stream_shape) if with_slope
                    else (stream_shape,)),
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
-      jnp.asarray(rel_tgt), scores, maxes)
+      jnp.asarray(rel_tgt), aug)
     return out if with_slope else (out[0], None)
 
 
@@ -407,22 +428,25 @@ def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
     rep = w // num_heads
     if not with_slope:
-        return jnp.tile(expd, (1, rep)), None
+        return jnp.tile(expd, (1, rep)).T, None
     # Contract: slope is 1.0 on invalid slots (the device kernel's all-zero
     # one-hot rows give p = 0 there); consumers multiply by expd = 0 anyway.
     slope = jnp.where(jnp.logical_and(valid[:, None], p < 0),
                       LEAKY_SLOPE, 1.0)
-    return jnp.tile(expd, (1, rep)), jnp.tile(slope, (1, rep))
+    return jnp.tile(expd, (1, rep)).T, jnp.tile(slope, (1, rep)).T
 
 
 def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool = False,
                         interpret=None, with_slope: bool = True):
     """Per-slot (expd, slope) in the slot order of the given plan direction,
-    TILE-wide f32 (column w = head ``w % num_heads``; a narrow [slots, K]
-    array would be lane-padded to 128 in HBM anyway, and f32 avoids
-    pack/unpack relayouts at the store/load sites).
-    ``maxes`` must already include overflow-edge contributions.
+    TRANSPOSED f32 ``[W, slots]`` with W = _expd_width(K) (row r = head
+    ``r % K``). Slots-on-lanes keeps the stream lane-DENSE (the old
+    [slots, W] form burned 128-lane tiles on W=16 columns), shrinks the
+    in-kernel vector math from 16 sublane-majority vregs to one vreg pair
+    per section, and makes each head's per-slot scale for the head-major
+    pair_spmm launches a CONTIGUOUS row slice instead of a strided column
+    copy. ``maxes`` must already include overflow-edge contributions.
     ``with_slope=False`` drops the slope output entirely (slope is None):
     Pallas outputs are not DCE'd, so a consumer that never reads the slope
     (the production forward — the fused backward recomputes it in-register)
@@ -936,6 +960,8 @@ def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int):
     """Raw per-(target, head) max of ONE launch — kernel slots + its
     overflow edges ([V, K] f32, NEG on empty targets)."""
     m_k = pair_attention_max(scores, *fwd_plan, v, k)
+    if ovf_src.shape[0] == 0:  # plans with no spilled edges (the common case)
+        return m_k
     _, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     m_o = jax.ops.segment_max(
@@ -987,7 +1013,8 @@ def _headmajor_sums(table, expd_f, fwd_plan, v: int, k: int):
     HEAD-MAJOR single-tile layout.
 
     Tile ``kk`` carries ONLY head kk's columns, so its per-slot scale is
-    the single expd column kk — foldable into the target one-hot exactly
+    the single expd ROW kk of the transposed stream — foldable into the
+    target one-hot exactly
     like pair_spmm's scalar 1/deg scale (A = (oh_tgt * expd_k) @ oh_src,
     two pure-MXU dots per chunk, no f32 message materialisation and no
     per-chunk f32->bf16 pack relayout of scaled messages). A 1.0 written
@@ -1001,13 +1028,19 @@ def _headmajor_sums(table, expd_f, fwd_plan, v: int, k: int):
 
     rows = table.shape[0]
     head_dim = table.shape[1] // k
-    heads = table.reshape(rows, head_dim, k)  # hk-major: col = hd*K + kk
-    ones = jnp.ones((rows, 1), table.dtype)
-    pad = jnp.zeros((rows, TILE - head_dim - 1), table.dtype)
-    outs = []
-    for kk in range(k):
-        t_pad = jnp.concatenate([heads[:, :, kk], ones, pad], axis=1)
-        outs.append(pair_spmm(t_pad, expd_f[:, kk], *fwd_plan, v))
+    # ONE transpose builds every launch's padded table (k strided
+    # [rows, head_dim] column gathers from the hk-major layout would each
+    # be their own relayout); ``expd_f`` rows are contiguous per-head
+    # scales (transposed stream layout).
+    heads_km = table.reshape(rows, head_dim, k).transpose(2, 0, 1)
+    t_pads = jnp.concatenate(
+        [heads_km,
+         jnp.ones((k, rows, 1), table.dtype),
+         jnp.zeros((k, rows, TILE - head_dim - 1), table.dtype)],
+        axis=2,
+    )
+    outs = [pair_spmm(t_pads[kk], expd_f[kk], *fwd_plan, v)
+            for kk in range(k)]
     denom = jnp.stack([o[:, head_dim] for o in outs], axis=-1)
     weighted = jnp.stack([o[:, :head_dim] for o in outs],
                          axis=-1).reshape(v, head_dim * k)
@@ -1041,9 +1074,13 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
     if head_dim + 1 <= TILE and k <= 4 * h_tiles:
         denom, weighted = _headmajor_sums(table, expd_f, fwd_plan, v, k)
     else:
+        # The agg kernel consumes the legacy [slots, W] stream layout.
         denom, weighted = pair_attention_agg(
-            table, expd_f, *fwd_plan, v, k,
+            table, expd_f.T, *fwd_plan, v, k,
         )
+    if ovf_src.shape[0] == 0:  # no spilled edges (the common case)
+        zero_o = jnp.zeros((0, k), jnp.float32)
+        return denom, weighted, zero_o, zero_o
     p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     expd_o = jnp.where(
@@ -1072,6 +1109,8 @@ def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
     d_ss, d_ts, d_table = pair_attention_bwd_fused(
         table, dw_stream, d_denom, scores, m_safe, *bwd_plan, v, k,
     )
+    if ovf_src.shape[0] == 0:  # no spilled edges (the common case)
+        return d_ss, d_ts, d_table
     valid_o = ovf_tgt < v
     tgt_o = jnp.minimum(ovf_tgt, v - 1)
     dwg_o = jnp.take(d_weighted, tgt_o, axis=0) * valid_o[:, None]

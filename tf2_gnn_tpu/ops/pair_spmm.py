@@ -58,6 +58,22 @@ TILE = 128   # feature tile; the wrapper pads H to a multiple of TILE
 VMEM_TABLE_BUDGET_BYTES = 11 * 1024 * 1024
 
 
+def _round_up(value: int, multiple: int) -> int:
+    return int(math.ceil(max(value, 1) / multiple) * multiple)
+
+
+def _prec(dtype):
+    """Dot precision policy (same contract as pair_attention._prec): f32
+    tables get HIGHEST — the MXU's default single pass truncates f32 inputs
+    to bf16, which broke f32 device-vs-twin equivalence at the ~1% level —
+    while bf16 tables (the shipped config) keep the default single pass
+    (bf16 inputs are exact on the MXU)."""
+    import jax
+
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 class PairPlan(NamedTuple):
     """Host-built plan for one direction of the pair kernel.
 
@@ -346,6 +362,7 @@ def build_pair_plans(
     chunk_budget_bwd: int = None,
     overflow_budget: int = 2048,
     merge_targets: bool = False,
+    overflow_size: int = None,
 ) -> PairPlans:
     """Build forward+backward pair plans over ALL edge types of a batch.
 
@@ -407,8 +424,22 @@ def build_pair_plans(
             f"'pair_chunk_slack'/'pair_overflow_budget' or disable "
             f"'use_pair_spmm' for this dataset."
         )
-    ovf_src = np.zeros((overflow_budget,), np.int32)
-    ovf_tgt = np.full((overflow_budget,), out_rows, np.int32)  # discard row
+    # Size the overflow arrays by the REAL spill, not the budget: the
+    # budget is only the error threshold above. Datasets whose chunk
+    # budgets are measured maxima never spill, and dead padded slots are
+    # not free — the XLA fallback term (gather + two segment-sums over
+    # `overflow_budget` slots) measured 0.9 ms/layer at the PPI bench
+    # shape with 2048 all-padding slots. Zero-size arrays skip the term
+    # entirely (callers gate on shape). Callers needing a FIXED static
+    # shape across differently-spilling batches pass overflow_size.
+    ovf_slots = (_round_up(num_overflow, 8) if num_overflow
+                 else 0) if overflow_size is None else overflow_size
+    if num_overflow > ovf_slots:
+        raise ValueError(
+            f"{num_overflow} spilled edges exceed overflow_size {ovf_slots}."
+        )
+    ovf_src = np.zeros((ovf_slots,), np.int32)
+    ovf_tgt = np.full((ovf_slots,), out_rows, np.int32)  # discard row
     if num_overflow:
         ovf_src[:num_overflow] = all_src[ovf]
         ovf_tgt[:num_overflow] = all_tgt[ovf]
@@ -554,12 +585,14 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
             oh_t = ((rows_i == rel_t[None, :]).astype(jnp.float32)
                     * sc[None, :]).astype(table_vmem.dtype)
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
-            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
+            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32,
+                        precision=_prec(table_vmem.dtype))
             blk = src_blk_ref[g * group + k]
             tb = table_vmem[pl.ds(blk * BLK, BLK), :]
             contrib = contrib + jnp.dot(
                 a.astype(table_vmem.dtype), tb,
                 preferred_element_type=jnp.float32,
+                precision=_prec(table_vmem.dtype),
             )
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]

@@ -291,10 +291,14 @@ def partition_graph(
             cb = max(cb, _round_up(mb, BWD_GROUP))
         per_shard_pair = []
         for s_ in range(num_shards):
+            # Budgets are per-shard maxima, so no edge ever spills;
+            # overflow_size=0 keeps the stacked plan shapes uniform AND
+            # skips the XLA overflow term on device entirely.
             plans = _build_pair_plans(
                 *shard_edges_args(s_), nodes_per_shard, src_space=ext_nodes,
                 chunk_budget_fwd=cf, chunk_budget_bwd=cb,
-                overflow_budget=64, merge_targets=pair_merge_targets,
+                overflow_budget=0, overflow_size=0,
+                merge_targets=pair_merge_targets,
             )
             per_shard_pair.append(plans.astuple())
         pair_plans = tuple(
