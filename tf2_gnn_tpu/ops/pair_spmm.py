@@ -62,16 +62,13 @@ def _round_up(value: int, multiple: int) -> int:
     return int(math.ceil(max(value, 1) / multiple) * multiple)
 
 
-def _prec(dtype):
-    """Dot precision policy (same contract as pair_attention._prec): f32
-    tables get HIGHEST — the MXU's default single pass truncates f32 inputs
-    to bf16, which broke f32 device-vs-twin equivalence at the ~1% level —
-    while bf16 tables (the shipped config) keep the default single pass
-    (bf16 inputs are exact on the MXU)."""
-    import jax
-
-    return (jax.lax.Precision.HIGHEST
-            if jnp.dtype(dtype) == jnp.float32 else None)
+# Dot precision: the kernels keep the MXU's DEFAULT single pass for every
+# table dtype — the same policy XLA applies to the model's own f32 dense
+# matmuls under jit (f32 inputs truncate to bf16 per pass). Forcing HIGHEST
+# for f32 tables was tried 2026-08-19 and measured 2x on the QM9 shipped
+# config (f32 streams, 8 layers): bit-exactness vs the f32 jnp twins is a
+# test-tolerance question (~1% bf16-truncation level), not worth 3x MXU
+# passes in a framework whose surrounding matmuls round identically.
 
 
 class PairPlan(NamedTuple):
@@ -585,14 +582,12 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
             oh_t = ((rows_i == rel_t[None, :]).astype(jnp.float32)
                     * sc[None, :]).astype(table_vmem.dtype)
             oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
-            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32,
-                        precision=_prec(table_vmem.dtype))
+            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
             blk = src_blk_ref[g * group + k]
             tb = table_vmem[pl.ds(blk * BLK, BLK), :]
             contrib = contrib + jnp.dot(
                 a.astype(table_vmem.dtype), tb,
                 preferred_element_type=jnp.float32,
-                precision=_prec(table_vmem.dtype),
             )
 
         prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
@@ -706,16 +701,22 @@ def _ptgs_fwd(tables_flat, scale_fwd, scale_bwd, ovf_scale,
         rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
         ovf_src, ovf_tgt, num_nodes,
     )
-    return out, (tables_flat.shape[0], scale_bwd, ovf_scale,
-                 rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
-                 ovf_src, ovf_tgt)
+    # (zero-size dtype carrier: residual leaves must be JAX types)
+    return out, (tables_flat.shape[0], jnp.zeros((0,), tables_flat.dtype),
+                 scale_bwd, ovf_scale, rel_src_b, rel_tgt_b, src_blk_b,
+                 grp_tgt_b, ovf_src, ovf_tgt)
 
 
 def _ptgs_bwd(num_nodes, res, g):
-    (rows, scale_bwd, ovf_scale, rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
-     ovf_src, ovf_tgt) = res
-    d_tables = pair_spmm(g, scale_bwd, rel_src_b, rel_tgt_b, src_blk_b,
-                         grp_tgt_b, rows)
+    (rows, dtype_carrier, scale_bwd, ovf_scale, rel_src_b, rel_tgt_b,
+     src_blk_b, grp_tgt_b, ovf_src, ovf_tgt) = res
+    stream_dtype = dtype_carrier.dtype
+    # Cotangents stream at the FORWARD table dtype (the same contract as
+    # pair_attention's fused backward): with bf16 tables the gradient
+    # gather reads half the bytes at the same MXU rounding the forward
+    # already paid.
+    d_tables = pair_spmm(g.astype(stream_dtype), scale_bwd, rel_src_b,
+                         rel_tgt_b, src_blk_b, grp_tgt_b, rows)
     if ovf_src.shape[0]:
         # Transpose of the overflow term: d_tables[src] += scale * g[tgt].
         g_rows = jnp.take(g, ovf_tgt, axis=0, mode="clip")
