@@ -70,11 +70,32 @@ def clustered_graph(rng, scale=1, v=7200, avg_deg=29, spread=192):
     return v, adjacency
 
 
-def model_one(kind, v, adjacency, s, compute_s, args):
+def shuffled_clustered_graph(rng, scale=1):
+    """The clustered graph with its node ids SHUFFLED: latent locality the
+    contiguous-range partitioner cannot see. This is the case the RCM
+    reordering pass (parallel/reorder.py) exists for — real giant graphs
+    (meshes, molecules, road/social networks) have community structure but
+    arrive hash- or insertion-ordered. (A TRUE Erdos-Renyi graph has no
+    locality for ANY partitioner, METIS included; its boundary genuinely
+    is ~V.)"""
+    v, adjacency = clustered_graph(rng, scale)
+    shuf = rng.permutation(v).astype(np.int32)
+    return v, [shuf[a] for a in adjacency]
+
+
+def model_one(kind, v, adjacency, s, compute_s, args, reorder=False):
+    from tf2_gnn_tpu.parallel.reorder import (
+        apply_node_permutation,
+        locality_reorder,
+    )
     from tf2_gnn_tpu.parallel.spmd import partition_graph
 
     nf = np.zeros((v, 8), np.float32)
     n2g = np.zeros((v,), np.int32)
+    if reorder:
+        perm = locality_reorder(adjacency, v)
+        nf, adjacency, n2g, _ = apply_node_permutation(
+            perm, nf, adjacency, n2g)
     batch, _ = partition_graph(
         nf, adjacency, n2g, num_graphs=1, num_shards=s)
     if batch.halo_ring_send is not None:
@@ -105,19 +126,19 @@ def model_one(kind, v, adjacency, s, compute_s, args):
     return row
 
 
-def model_for(kind, build, args):
+def model_for(kind, build, args, reorder=False):
     """STRONG scaling (fixed graph, toy-batch Amdahl case) and WEAK scaling
     (constant per-shard work — how real deployments grow with the mesh)."""
     rng = np.random.RandomState(0)
     v, adj = build(rng, 1)
     for s in args.shards:
         compute_s = (args.step_ms / 1e3) / args.layers / s
-        model_one(kind + "-strong", v, adj, s, compute_s, args)
+        model_one(kind + "-strong", v, adj, s, compute_s, args, reorder)
     for s in args.shards:
         rng = np.random.RandomState(0)
         v, adj = build(rng, s)
         compute_s = (args.step_ms / 1e3) / args.layers  # constant per shard
-        model_one(kind + "-weak", v, adj, s, compute_s, args)
+        model_one(kind + "-weak", v, adj, s, compute_s, args, reorder)
 
 
 def main():
@@ -141,6 +162,11 @@ def main():
 
     model_for("ppi-bench-random", bench_shaped_graph, args)
     model_for("clustered", clustered_graph, args)
+    # Latent locality hidden by a label shuffle: unrecoverable by the
+    # contiguous-range partitioner alone, recovered by the RCM pass.
+    model_for("shuffled-latent", shuffled_clustered_graph, args)
+    model_for("shuffled-latent+rcm", shuffled_clustered_graph, args,
+              reorder=True)
 
 
 if __name__ == "__main__":

@@ -336,4 +336,62 @@ int64_t gp_pair_plan_count(const int32_t* src, const int32_t* tgt, int64_t n,
   return total;
 }
 
+// Locality-aware node reordering: reverse Cuthill-McKee over the undirected
+// union of all edge types (self loops dropped). ``edges`` is the int32
+// [num_edges, 2] concatenation of every type's edge list; writes ``perm``
+// (int32 [num_nodes]) with perm[new_pos] = old_id. Components are entered
+// in increasing (degree, id) order of their seed; each BFS level visits
+// unvisited neighbours deduplicated and sorted by (degree, id) — exactly
+// the numpy fallback's semantics (parallel/reorder.py), so the two are
+// byte-identical and equivalence-tested.
+void gp_rcm_order(const int32_t* edges, int64_t num_edges, int64_t num_nodes,
+                  int32_t* perm) {
+  std::vector<int64_t> deg(num_nodes, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int32_t u = edges[2 * e], v = edges[2 * e + 1];
+    if (u == v) continue;
+    ++deg[u];
+    ++deg[v];
+  }
+  std::vector<int64_t> off(num_nodes + 1, 0);
+  for (int64_t i = 0; i < num_nodes; ++i) off[i + 1] = off[i] + deg[i];
+  std::vector<int32_t> adj(off[num_nodes]);
+  std::vector<int64_t> fill(off.begin(), off.end() - 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int32_t u = edges[2 * e], v = edges[2 * e + 1];
+    if (u == v) continue;
+    adj[fill[u]++] = v;
+    adj[fill[v]++] = u;
+  }
+  std::vector<int32_t> seeds(num_nodes);
+  std::iota(seeds.begin(), seeds.end(), 0);
+  std::stable_sort(seeds.begin(), seeds.end(),
+                   [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+  std::vector<uint8_t> seen(num_nodes, 0);
+  std::vector<int32_t> nb;
+  int64_t pos = 0;
+  for (const int32_t start : seeds) {
+    if (seen[start]) continue;
+    seen[start] = 1;
+    perm[pos++] = start;
+    int64_t head = pos - 1;
+    while (head < pos) {
+      const int32_t u = perm[head++];
+      nb.clear();
+      for (int64_t i = off[u]; i < off[u + 1]; ++i) {
+        const int32_t w = adj[i];
+        if (!seen[w]) {
+          seen[w] = 1;  // marks dedupe within this neighbour list too
+          nb.push_back(w);
+        }
+      }
+      std::sort(nb.begin(), nb.end(), [&](int32_t a, int32_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+      });
+      for (const int32_t w : nb) perm[pos++] = w;
+    }
+  }
+  std::reverse(perm, perm + num_nodes);
+}
+
 }  // extern "C"

@@ -108,6 +108,8 @@ def _wire(lib):
         _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.gp_rcm_order.restype = None
+    lib.gp_rcm_order.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int64, _i32p]
     _lib = lib
     return _lib
 
@@ -290,6 +292,20 @@ def pair_plan_count(src: np.ndarray, tgt: np.ndarray, group: int, blk: int,
         np.ascontiguousarray(src, dtype=np.int32),
         np.ascontiguousarray(tgt, dtype=np.int32),
         int(src.shape[0]), group, blk, e_c))
+
+
+def rcm_order(edges: np.ndarray, num_nodes: int) -> Optional[np.ndarray]:
+    """Reverse Cuthill-McKee node permutation over the undirected union of
+    ``edges`` (int32 [E, 2], all types concatenated), or None when the
+    native library is unavailable (parallel/reorder.py falls back to the
+    byte-identical numpy implementation)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gp_rcm_order"):
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32).reshape(-1, 2)
+    perm = np.empty((num_nodes,), dtype=np.int32)
+    lib.gp_rcm_order(edges, edges.shape[0], num_nodes, perm)
+    return perm
 
 
 def in_degrees(edges: np.ndarray, num_nodes: int) -> np.ndarray:
