@@ -108,6 +108,58 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
     return batch, labels, real_edges
 
 
+def build_qm9_batch(seed: int):
+    """QM9-shaped workload: 909 ~18-node molecules, 5 edge types, ~50k edges
+    per 16k-node batch, per-type row-split pair plans (the shipped QM9_RGCN
+    configuration's pair_per_type form)."""
+    from tf2_gnn_tpu.data.graph_batch import (
+        PaddingConfig,
+        pad_batch_arrays,
+        pad_graph_label_array,
+    )
+    from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans
+
+    rng = np.random.RandomState(seed)
+    mols, nodes_per_mol, num_types = 909, 18, 5
+    v = mols * nodes_per_mol
+    v_pad = 16384  # 128 * 128, Pallas node-block aligned
+    adjacency = []
+    for t in range(num_types):
+        e_per_mol = 11
+        src = rng.randint(0, nodes_per_mol, (mols, e_per_mol))
+        tgt = rng.randint(0, nodes_per_mol, (mols, e_per_mol))
+        base = (np.arange(mols) * nodes_per_mol)[:, None]
+        adjacency.append(np.stack(
+            [(src + base).reshape(-1), (tgt + base).reshape(-1)],
+            axis=1).astype(np.int32))
+    config = PaddingConfig(
+        num_nodes=v_pad,
+        num_graphs=mols + 1,
+        edge_budgets=tuple(((a.shape[0] + 511) // 512) * 512
+                           for a in adjacency),
+    )
+    batch = pad_batch_arrays(
+        node_features=rng.randn(v, 32).astype(np.float32),
+        adjacency_lists=adjacency,
+        node_to_graph=np.repeat(np.arange(mols, dtype=np.int32),
+                                nodes_per_mol),
+        num_graphs=mols,
+        config=config,
+    )
+    typed = tuple(
+        build_pair_plans(
+            [np.asarray(batch.edge_sources[t])],
+            [np.asarray(batch.edge_targets[t])],
+            [int(batch.num_edges[t])], v_pad,
+        ).astuple()
+        for t in range(num_types)
+    )
+    batch = batch.replace(pair_plans_typed=typed)
+    labels = {"target_value": pad_graph_label_array(
+        rng.randn(mols).astype(np.float32), mols + 1)}
+    return batch, labels, mols
+
+
 def main():
     import sys
 
@@ -174,6 +226,71 @@ def main():
         steps_per_s = (TIMED_STEPS_FULL - TIMED_STEPS_BASE) / elapsed
         return steps_per_s * edges_per_step, steps_per_s * GRAPHS_PER_BATCH
 
+    def measure_rgat():
+        """RGAT edges/s on the same PPI-shaped batch (pair-attention path,
+        4 heads, bf16 streams — the shipped PPI_RGAT settings)."""
+        params = NodeMulticlassTask.get_default_hyperparameters("rgat")
+        params.update({
+            "gnn_hidden_dim": 320,
+            "gnn_num_layers": 4,
+            "gnn_num_heads": 4,
+            "gnn_edge_dtype": "bfloat16",
+            "learning_rate": 0.001,
+        })
+        model = NodeMulticlassTask.from_params(params)
+        batch, labels, edges = build_batch(0, use_pallas=False,
+                                           use_pairs=True)
+        batch = jax.device_put(batch)
+        labels = jax.device_put(labels)
+        optimizer = make_optimizer(params)
+        state = create_train_state(model, batch, optimizer, seed=0)
+        train_step = make_train_step(model, optimizer)
+
+        def run(n, state):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = train_step(state, batch, labels)
+            _ = float(np.asarray(metrics["loss"]))
+            return time.perf_counter() - t0, state
+
+        _, state = run(WARMUP_STEPS, state)
+        t1, state = run(8, state)
+        t2, state = run(24, state)
+        return edges / ((t2 - t1) / 16)
+
+    def measure_qm9():
+        """QM9 molecules/s on the shipped QM9_RGCN config (8 layers, hidden
+        128, RMSProp, per-type row-split pair plans)."""
+        import json as _json
+        from pathlib import Path
+
+        from tf2_gnn_tpu.models.qm9_regression_task import QM9RegressionTask
+
+        hyper_path = (Path(__file__).parent / "tf2_gnn_tpu" / "harness"
+                      / "default_hypers" / "QM9_RGCN.json")
+        shipped = _json.loads(hyper_path.read_text())
+        params = QM9RegressionTask.get_default_hyperparameters("rgcn")
+        params.update(shipped["model_params"])
+        model = QM9RegressionTask.from_params(params)
+        batch, labels, mols = build_qm9_batch(0)
+        batch = jax.device_put(batch)
+        labels = jax.device_put(labels)
+        optimizer = make_optimizer(params)
+        state = create_train_state(model, batch, optimizer, seed=0)
+        train_step = make_train_step(model, optimizer)
+
+        def run(n, state):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = train_step(state, batch, labels)
+            _ = float(np.asarray(metrics["loss"]))
+            return time.perf_counter() - t0, state
+
+        _, state = run(WARMUP_STEPS, state)
+        t1, state = run(8, state)
+        t2, state = run(24, state)
+        return mols / ((t2 - t1) / 16)
+
     # Fastest path first; a Mosaic/compile failure in a newer kernel family
     # falls back so the driver always records a number (the failure is
     # reported on stderr for the runbook to chase).
@@ -195,6 +312,20 @@ def main():
     if edges_per_s is None:
         raise SystemExit("every bench path failed")
 
+    # Secondary per-kernel-family metrics (VERDICT r2 item 5): regressions in
+    # the attention kernels or the per-type row-split plans would be
+    # invisible to the RGCN headline. Soft-fail so the headline always lands.
+    extra = {}
+    if "--headline-only" not in sys.argv:
+        for key, fn in (("rgat_edges_per_s", measure_rgat),
+                        ("qm9_molecules_per_s", measure_qm9)):
+            try:
+                extra[key] = round(fn(), 1)
+            except Exception as exc:  # pragma: no cover - device-only
+                print(f"bench extra '{key}' failed ({type(exc).__name__}: "
+                      f"{exc})", file=sys.stderr)
+                extra[key] = None
+
     print(
         json.dumps(
             {
@@ -203,6 +334,7 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(graphs_per_s / BASELINE_GRAPHS_PER_S, 2),
                 "path": path_used,
+                **({"extra": extra} if extra else {}),
             }
         )
     )
