@@ -57,11 +57,12 @@ def build_dp_batches():
     return stack_batches(batches, labels)
 
 
-def build_spmd_partition():
-    """One giant localized graph partitioned over 8 shards (halo plans on)."""
+def build_spmd_partition(halo="auto", build_pair_plans=False, seed=7,
+                         num_shards=NUM_DEVICES):
+    """One giant localized graph partitioned over ``num_shards`` shards."""
     from tf2_gnn_tpu.parallel import partition_graph
 
-    rng = np.random.RandomState(7)
+    rng = np.random.RandomState(seed)
     num_nodes = 128
     tgt = rng.randint(0, num_nodes, 500)
     src = np.clip(tgt + rng.randint(-6, 7, 500), 0, num_nodes - 1)
@@ -70,18 +71,22 @@ def build_spmd_partition():
     n2g = np.sort(rng.randint(0, 3, num_nodes)).astype(np.int32)
     labels = (rng.rand(num_nodes, 121) > 0.9).astype(np.float32)
     return partition_graph(
-        rng.randn(num_nodes, 6).astype(np.float32), adj, n2g, 3, NUM_DEVICES,
+        rng.randn(num_nodes, 6).astype(np.float32), adj, n2g, 3, num_shards,
         axis_name=SPMD_AXIS, num_graphs_padded=4,
         node_labels={"node_labels": labels},
+        halo=halo, build_pair_plans=build_pair_plans,
     )
 
 
-def run_steps(mesh_dp, mesh_spmd, lift):
-    """One DP step + one SPMD step; returns {dp_loss, spmd_loss, checksum}.
+def run_steps(mesh_dp, mesh_spmd, lift, mesh_hybrid=None, lift2d=None):
+    """One DP step + SPMD steps (both halo wire forms; the ring one on the
+    BLOCK-PAIR kernel path) + one hybrid 2x4 step; returns the replicated
+    losses and a param checksum.
 
     ``lift(tree, axis_name)`` turns host-local stacked arrays into mesh
     inputs (identity for the single-process reference, distribute_batch for
-    cluster workers feeding their local shards).
+    cluster workers feeding their local shards); ``lift2d(tree)`` does the
+    same for the hybrid [R, S, ...] stacks over ("data", "nodes").
     """
     import jax
     import numpy as np
@@ -101,19 +106,43 @@ def run_steps(mesh_dp, mesh_spmd, lift):
                                 lift(labels, DP_AXIS))
     dp_loss = float(np.asarray(jax.device_get(dp_metrics["loss"])))
 
-    sharded, sharded_labels = build_spmd_partition()
     # Param shapes depend only on feature dim/config — init from the plain
     # batch (a lone partitioned shard can't run its halo exchange outside
     # shard_map).
-    state2 = create_train_state(model, one, optimizer, seed=0)
     spmd_step = make_spmd_train_step(model, optimizer, mesh_spmd,
                                      axis_name=SPMD_AXIS)
-    state2, spmd_metrics = spmd_step(state2, lift(sharded, SPMD_AXIS),
-                                     lift(sharded_labels, SPMD_AXIS))
-    spmd_loss = float(np.asarray(jax.device_get(spmd_metrics["loss"])))
+    result = {"dp_loss": dp_loss}
+    for name, halo, pairs in (("spmd_loss", "dense", False),
+                              ("spmd_ring_pair_loss", "ring", True)):
+        sharded, sharded_labels = build_spmd_partition(
+            halo=halo, build_pair_plans=pairs)
+        assert (sharded.halo_ring_send is not None) == (halo == "ring")
+        assert (sharded.pair_plans is not None) == pairs
+        state2 = create_train_state(model, one, optimizer, seed=0)
+        state2, spmd_metrics = spmd_step(state2, lift(sharded, SPMD_AXIS),
+                                         lift(sharded_labels, SPMD_AXIS))
+        result[name] = float(np.asarray(jax.device_get(
+            spmd_metrics["loss"])))
 
-    checksum = float(sum(
+    if mesh_hybrid is not None:
+        from tf2_gnn_tpu.parallel import (
+            make_hybrid_train_step,
+            stack_partitioned_batches,
+        )
+
+        replicas = [build_spmd_partition(seed=40 + r, num_shards=4)
+                    for r in range(2)]
+        batch2d, labels2d = stack_partitioned_batches(
+            [b for b, _ in replicas], [l for _, l in replicas])
+        state3 = create_train_state(model, one, optimizer, seed=0)
+        hybrid_step = make_hybrid_train_step(model, optimizer, mesh_hybrid)
+        state3, hybrid_metrics = hybrid_step(
+            state3, lift2d(batch2d), lift2d(labels2d))
+        result["hybrid_loss"] = float(np.asarray(jax.device_get(
+            hybrid_metrics["loss"])))
+
+    result["checksum"] = float(sum(
         np.abs(np.asarray(jax.device_get(p))).sum()
         for p in jax.tree.leaves(state.params)
     ))
-    return {"dp_loss": dp_loss, "spmd_loss": spmd_loss, "checksum": checksum}
+    return result

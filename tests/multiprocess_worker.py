@@ -38,9 +38,13 @@ def main():
     assert len(jax.local_devices()) == 4
 
     import mp_workload  # noqa: E402
+    from tf2_gnn_tpu.parallel import make_hybrid_mesh  # noqa: E402
 
     mesh_dp = global_mesh(mp_workload.DP_AXIS)
     mesh_spmd = global_mesh(mp_workload.SPMD_AXIS)
+    # 2x4 hybrid over the global devices: row r = process r's 4 devices,
+    # so each process feeds exactly its own replica.
+    mesh_hybrid = make_hybrid_mesh(2, 4)
 
     def lift(tree, axis_name):
         # Slice this process's local shards off the full stacked arrays,
@@ -50,7 +54,12 @@ def main():
         mesh = mesh_dp if axis_name == mp_workload.DP_AXIS else mesh_spmd
         return distribute_batch(mesh, local, axis_name)
 
-    result = mp_workload.run_steps(mesh_dp, mesh_spmd, lift)
+    def lift2d(tree):
+        local = jax.tree.map(lambda x: x[process_id:process_id + 1], tree)
+        return distribute_batch(mesh_hybrid, local, ("data", "nodes"))
+
+    result = mp_workload.run_steps(mesh_dp, mesh_spmd, lift,
+                                   mesh_hybrid=mesh_hybrid, lift2d=lift2d)
     print("RESULT " + json.dumps(result), flush=True)
 
 

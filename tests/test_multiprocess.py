@@ -26,12 +26,14 @@ def _free_port() -> int:
 
 def _reference():
     """Ground truth: same workloads on this process's 8 virtual devices."""
-    from tf2_gnn_tpu.parallel import global_mesh
+    from tf2_gnn_tpu.parallel import global_mesh, make_hybrid_mesh
 
     mesh_dp = global_mesh(mp_workload.DP_AXIS)
     mesh_spmd = global_mesh(mp_workload.SPMD_AXIS)
     return mp_workload.run_steps(mesh_dp, mesh_spmd,
-                                 lambda tree, axis: tree)
+                                 lambda tree, axis: tree,
+                                 mesh_hybrid=make_hybrid_mesh(2, 4),
+                                 lift2d=lambda tree: tree)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -67,15 +69,16 @@ def test_two_process_cluster_matches_single_process():
         assert lines, f"no RESULT line:\n{out[-4000:]}"
         results.append(json.loads(lines[-1][len("RESULT "):]))
 
-    # Both processes observe the same replicated metrics.
-    for key in ("dp_loss", "spmd_loss", "checksum"):
+    # Both processes observe the same replicated metrics: DP, SPMD on the
+    # dense all_to_all form, SPMD on the ring form RIDING THE PAIR KERNELS,
+    # and the hybrid 2x4 mesh (each process feeding its own replica).
+    keys = ("dp_loss", "spmd_loss", "spmd_ring_pair_loss", "hybrid_loss",
+            "checksum")
+    for key in keys:
         np.testing.assert_allclose(results[0][key], results[1][key],
-                                   rtol=1e-6)
+                                   rtol=1e-6, err_msg=key)
 
     ref = _reference()
-    np.testing.assert_allclose(results[0]["dp_loss"], ref["dp_loss"],
-                               rtol=1e-4)
-    np.testing.assert_allclose(results[0]["spmd_loss"], ref["spmd_loss"],
-                               rtol=1e-4)
-    np.testing.assert_allclose(results[0]["checksum"], ref["checksum"],
-                               rtol=1e-4)
+    for key in keys:
+        np.testing.assert_allclose(results[0][key], ref[key],
+                                   rtol=1e-4, err_msg=key)

@@ -73,18 +73,22 @@ def process_shard_counts(mesh: Mesh) -> Tuple[int, int]:
 
 
 def distribute_batch(mesh: Mesh, tree: Any,
-                     axis_name: str = "data") -> Any:
+                     axis_name="data") -> Any:
     """Lift host-local stacked pytrees into global jax.Arrays.
 
-    Each leaf's leading axis holds this process's LOCAL shards (in mesh
-    order); the result is a tree of global arrays sharded P(axis_name) whose
-    global leading dim is the full device count. Feed the result to the
-    unchanged shard_map train/eval steps.
+    Each leaf's leading axis (or axes — pass a TUPLE of axis names for 2-D
+    meshes, e.g. ``("data", "nodes")`` for hybrid [R, S, ...] stacks) holds
+    this process's LOCAL shards in mesh order; the result is a tree of
+    global arrays sharded P(*axis_names) whose global leading dims span the
+    full mesh. Feed the result to the unchanged shard_map train/eval steps.
     """
+    names = ((axis_name,) if isinstance(axis_name, str)
+             else tuple(axis_name))
+
     def lift(x):
         x = np.asarray(x)
         sharding = NamedSharding(
-            mesh, P(axis_name, *([None] * (x.ndim - 1))))
+            mesh, P(*names, *([None] * (x.ndim - len(names)))))
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(lift, tree)
