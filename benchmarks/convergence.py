@@ -88,26 +88,34 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
         return {"node_labels": pad_node_label_array(labels, config.num_nodes)}
 
 
-def main():
+def run(epochs, flavour="rgcn", use_pairs=True, quiet=False):
+    """Train one configuration; returns the per-epoch valid F1 trajectory.
+
+    ``use_pairs=False`` runs the plain XLA gather/segment path (no plans at
+    all) — the A/B twin for validating that the fused kernels learn the
+    same function, not just match on fixed weights."""
     from tf2_gnn_tpu.harness.training import build_training, train_loop
     from tf2_gnn_tpu.models.node_multiclass_task import NodeMulticlassTask
 
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    np.random.seed(0)  # identical TRAIN shuffles across A/B runs
     ds = SyntheticNeighbourhoodDataset(
         {**GraphDataset.get_default_hyperparameters(),
-         "max_nodes_per_batch": 1024, "use_pallas_spmm": True,
-         "use_pair_spmm": True}
+         "max_nodes_per_batch": 1024, "use_pallas_spmm": use_pairs,
+         "use_pair_spmm": use_pairs}
     )
-    params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
+    params = NodeMulticlassTask.get_default_hyperparameters(flavour)
     params.update(
         {
             "gnn_hidden_dim": 128,
             "gnn_num_layers": 2,
-            "gnn_normalize_by_num_incoming": True,
+            "gnn_normalize_by_num_incoming": flavour != "rgat",
+            "gnn_layer_input_dropout_rate": 0.0,
             "gnn_edge_dtype": "bfloat16",  # the flagship pair-kernel config
             "learning_rate": 0.002,
         }
     )
+    if flavour == "rgat":
+        params["gnn_num_heads"] = 4
     model = NodeMulticlassTask.from_params(params, ds)
     batch, _ = next(ds.batch_iterator(DataFold.TRAIN))
     state, train_step, eval_step = build_training(model, params, batch)
@@ -118,12 +126,42 @@ def main():
         if "MicroF1" in msg and "Valid" in msg or msg.startswith("Initial"):
             token = msg.split("MicroF1:")[1].split("|")[0].split("(")[0]
             f1s.append(float(token.strip(" .\n")))
-        print(msg, flush=True)
+        if not quiet:
+            print(msg, flush=True)
 
     train_loop(model, state, train_step, eval_step, ds,
                max_epochs=epochs, patience=epochs, log_fun=log)
+    return f1s
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    mode = sys.argv[2] if len(sys.argv) > 2 else "rgcn"
+
+    if mode == "rgat-ab":
+        # A/B: identical seeds/shuffles through the flash pair-attention
+        # kernels vs the plain XLA path — the kernel family where a silent
+        # numeric drift would hurt most (VERDICT r2 item 6). bf16 streams
+        # vs f32 XLA math drift slowly, so the claim is trajectory-level
+        # agreement, not bit equality.
+        f1_pair = run(epochs, "rgat", use_pairs=True)
+        f1_xla = run(epochs, "rgat", use_pairs=False)
+        n = min(len(f1_pair), len(f1_xla))
+        gap = max(abs(a - b) for a, b in zip(f1_pair[:n], f1_xla[:n]))
+        print(json.dumps({
+            "task": "synthetic_neighbourhood_multilabel_rgat_ab",
+            "pair_trajectory": f1_pair,
+            "xla_trajectory": f1_xla,
+            "max_f1_gap": round(gap, 4),
+            "final_valid_f1": f1_pair[-1] if f1_pair else None,
+            "epochs": epochs,
+        }), flush=True)
+        return
+
+    f1s = run(epochs, mode, use_pairs=True)
     print(json.dumps({
         "task": "synthetic_neighbourhood_multilabel",
+        "flavour": mode,
         "initial_valid_f1": f1s[0] if f1s else None,
         "final_valid_f1": f1s[-1] if f1s else None,
         "epochs": epochs,
