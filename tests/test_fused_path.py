@@ -5,6 +5,7 @@ outputs and gradients for RGCN / GGNN / RGIN (pure source-gather messages with
 sum aggregation), and correctly bypassed for flavours it doesn't cover.
 """
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -121,15 +122,38 @@ def test_edge_mlp_with_target_state_fused_matches(tmp_path):
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without),
                                rtol=1e-4, atol=1e-4)
 
-    # The default 1-hidden-layer form keeps per-edge typed matmuls and must
-    # bypass the fused path (identical results either way).
+    # The default 1-HIDDEN-layer form rides the commuted-W2 fused path:
+    # out[v] = sum_l W2_l R_l[v] with R_l the per-type aggregate of
+    # relu(first-layer halves) — the per-edge matmuls vanish. Forward AND
+    # gradients must match the unfused per-edge computation.
     hp2 = GNN.get_default_hyperparameters("gnn_edge_mlp")
     hp2.update({"hidden_dim": 8, "num_layers": 1})
     gnn2 = GNN.from_params(hp2)
     v2 = gnn2.init(jax.random.PRNGKey(0), batch, False)
     a, _ = gnn2.apply(v2, batch, False)
     b, _ = gnn2.apply(v2, batch.replace(scatter_plans=None), False)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss2(vs, bb):
+        out, _ = gnn2.apply(vs, bb, False)
+        return jnp.sum(out ** 2)
+
+    g_with = jax.grad(loss2)(v2, batch)
+    g_without = jax.grad(loss2)(v2, batch.replace(scatter_plans=None))
+    for x, y in zip(jax.tree.leaves(g_with), jax.tree.leaves(g_without)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-3)
+
+    # Deeper target-state MLPs (>= 2 hidden) still bypass fusion exactly.
+    hp3 = GNN.get_default_hyperparameters("gnn_edge_mlp")
+    hp3.update({"hidden_dim": 8, "num_layers": 1,
+                "num_edge_MLP_hidden_layers": 2})
+    gnn3 = GNN.from_params(hp3)
+    v3 = gnn3.init(jax.random.PRNGKey(0), batch, False)
+    a3, _ = gnn3.apply(v3, batch, False)
+    b3, _ = gnn3.apply(v3, batch.replace(scatter_plans=None), False)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(b3), atol=1e-6)
 
 
 def test_bf16_edge_dtype_close_to_f32(tmp_path):
