@@ -18,7 +18,7 @@ fed with MEASURED inputs rather than a measured multi-chip run:
 
 Prints one JSON line per (graph kind, shard count).
 
-Usage: python benchmarks/scaling_model.py [--step-ms 9.8] [--ici-gbps 45]
+Usage: python benchmarks/scaling_model.py [--step-ms 8.8] [--ici-gbps 45]
 """
 import argparse
 import json
@@ -143,7 +143,7 @@ def model_for(kind, build, args, reorder=False):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--step-ms", type=float, default=9.8,
+    parser.add_argument("--step-ms", type=float, default=8.8,
                         help="Measured single-chip full-step time at this "
                              "workload (PERFORMANCE.md headline).")
     parser.add_argument("--layers", type=int, default=4)

@@ -163,6 +163,82 @@ def test_bound_stabiliser_matches_exact_normalised(form):
                                    rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("stab", ["exact", "bound"])
+def test_pair_attention_ext_src_space_matches_dense(stab):
+    """SPMD-halo form: sources live in the EXT row space [local | halo]
+    (src_space > num_nodes), targets stay local. The composed primitive and
+    its gradients must match the dense reference over the same edges."""
+    rng = np.random.RandomState(17)
+    v, vs, num_types, k, head_dim = 256, 384, 3, 4, 8
+    srcs, tgts, counts = [], [], []
+    for _ in range(num_types):
+        e = 700
+        src = rng.randint(0, vs, e).astype(np.int32)
+        tgt = rng.randint(0, v, e).astype(np.int32)
+        budget = ((e + 63) // 64) * 64
+        s = np.full((budget,), vs - 1, np.int32)
+        t = np.full((budget,), v - 1, np.int32)
+        s[:e], t[:e] = src, tgt
+        srcs.append(s)
+        tgts.append(t)
+        counts.append(e)
+    plans = ps.build_pair_plans(srcs, tgts, counts, v, src_space=vs)
+    rows = num_types * vs
+    table = rng.randn(rows, head_dim * k).astype(np.float32)
+    scores = (0.5 * rng.randn(rows, 2 * k)).astype(np.float32)
+    rowl = [s[:c].astype(np.int64) + l * vs
+            for l, (s, c) in enumerate(zip(srcs, counts))]
+    nodel = [t[:c].astype(np.int64) for t, c in zip(tgts, counts)]
+    src_rows = np.concatenate(rowl)
+    tgt_nodes = np.concatenate(nodel)
+
+    # f64 dense reference in the ext row space.
+    t64 = table.astype(np.float64)
+    s64 = scores.astype(np.float64)
+    ltype = src_rows // vs
+    p = s64[src_rows, :k] + s64[ltype * vs + tgt_nodes, k:]
+    logit = np.where(p >= 0, p, pa.LEAKY_SLOPE * p)
+    m = np.full((v, k), pa.NEG)
+    np.maximum.at(m, tgt_nodes, logit)
+    m_safe = np.where(m > 0.5 * pa.NEG, m, 0.0)
+    expd = np.exp(logit - m_safe[tgt_nodes])
+    denom_ref = np.zeros((v, k))
+    np.add.at(denom_ref, tgt_nodes, expd)
+    weighted_ref = np.zeros((v, head_dim * k))
+    np.add.at(weighted_ref, tgt_nodes,
+              t64[src_rows] * np.tile(expd, (1, head_dim)))
+
+    def normalised(t_, s_):
+        denom, weighted = pa.pair_attention(
+            t_, s_, *plans.kernel_arrays, v, k, stab, vs)
+        d = jnp.tile(denom, (1, head_dim))
+        return jnp.where(d > 0, weighted / jnp.where(d > 0, d, 1.0), 0.0)
+
+    out = normalised(jnp.asarray(table), jnp.asarray(scores))
+    dr = np.tile(denom_ref, (1, head_dim))
+    norm_ref = np.where(dr > 0, weighted_ref / np.where(dr > 0, dr, 1.0), 0.0)
+    np.testing.assert_allclose(np.asarray(out), norm_ref,
+                               rtol=1e-4, atol=1e-4)
+
+    cot = jnp.asarray(rng.randn(v, head_dim * k).astype(np.float32))
+    g_t, g_s = jax.grad(
+        lambda t_, s_: jnp.vdot(normalised(t_, s_), cot), argnums=(0, 1)
+    )(jnp.asarray(table), jnp.asarray(scores))
+    # Finite-difference spot check on a handful of table entries.
+    eps = 1e-3
+    for idx in [(5, 3), (int(src_rows[0]), 0), (rows - 1, head_dim * k - 1)]:
+        tp = table.copy()
+        tp[idx] += eps
+        tm = table.copy()
+        tm[idx] -= eps
+        fd = (float(jnp.vdot(normalised(jnp.asarray(tp),
+                                        jnp.asarray(scores)), cot))
+              - float(jnp.vdot(normalised(jnp.asarray(tm),
+                                          jnp.asarray(scores)), cot))) / (
+            2 * eps)
+        np.testing.assert_allclose(float(g_t[idx]), fd, rtol=2e-2, atol=2e-3)
+
+
 def test_pair_attention_bf16_error_bound():
     """Full fused forward on bf16 streams vs the float64 dense reference:
     pins the bf16-table error bound of the SHIPPED configuration. The

@@ -362,7 +362,8 @@ def test_spmd_fused_train_step_matches_single_device():
     "flavour,merge,halo_form",
     [("rgcn", False, "dense"), ("rgcn", False, "ring"),
      ("ggnn", False, "dense"), ("rgin", False, "dense"),
-     ("gnn_edge_mlp", True, "dense"), ("gnn_film", True, "ring")],
+     ("gnn_edge_mlp", True, "dense"), ("gnn_film", True, "ring"),
+     ("rgat", False, "dense"), ("rgat", False, "ring")],
 )
 def test_spmd_pair_path_matches_single_device(flavour, merge, halo_form):
     extra = ({"gnn_num_edge_MLP_hidden_layers": 0}
@@ -378,6 +379,7 @@ def _run_spmd_pair_case(flavour, merge, halo_form, extra):
     sorted-scatter path would still be numerically correct."""
     from unittest import mock
 
+    import tf2_gnn_tpu.ops.pair_attention as pa
     import tf2_gnn_tpu.ops.pair_spmm as ps
 
     nf, adj, n2g, g = _giant_graph(num_nodes=200, seed=21)
@@ -399,13 +401,17 @@ def _run_spmd_pair_case(flavour, merge, halo_form, extra):
     assert all(p.shape[0] == NUM_SHARDS for p in sharded.pair_plans)
 
     calls = []
-    orig = ps.pair_typed_gather_scatter
+    if flavour == "rgat":
+        target_mod, target_name = pa, "pair_attention"
+    else:
+        target_mod, target_name = ps, "pair_typed_gather_scatter"
+    orig = getattr(target_mod, target_name)
 
     def counted(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    with mock.patch.object(ps, "pair_typed_gather_scatter", counted):
+    with mock.patch.object(target_mod, target_name, counted):
         (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
                                                         sharded)
     assert calls, f"{flavour}: pair kernel never ran under SPMD"

@@ -55,10 +55,16 @@ class RGAT(MessagePassing):
 
     def _pair_attention_applicable_static(self, batch: GraphBatch) -> bool:
         """Shape-only gate for the flash pair-attention path — decided BEFORE
-        any module creation (flax NameInUseError on re-creation)."""
+        any module creation (flax NameInUseError on re-creation). Under SPMD
+        the path requires the halo form and merged (non-typed) plans: the
+        kernels run per shard over the ext-local source row space
+        ``[local | halo slabs]`` with local targets."""
         from ...ops.pair_attention import pair_attention_applicable
 
-        if batch.pair_targets_merged or batch.spmd_axis is not None:
+        if batch.pair_targets_merged:
+            return False
+        if batch.spmd_axis is not None and (
+                not batch.halo_mode or batch.pair_plans is None):
             return False
         if batch.pair_plans is None and batch.pair_plans_typed is None:
             return False
@@ -69,11 +75,11 @@ class RGAT(MessagePassing):
         head_dim = self.hidden_dim // self.num_heads
         # Per-type (row-split) plans launch one type at a time, so each
         # launch's residency is one [V]-row slab.
-        rows = (batch.num_nodes_padded if batch.pair_plans is None
-                else batch.num_edge_types * batch.num_nodes_padded)
+        rows = (batch.pair_src_space if batch.pair_plans is None
+                else batch.num_edge_types * batch.pair_src_space)
         return pair_attention_applicable(
             rows, batch.num_nodes_padded, head_dim * k_pad, k_pad,
-            stream_dtype, stream_dtype,
+            stream_dtype, stream_dtype, src_space=batch.pair_src_space,
         )
 
     def _pair_attention_aggregate(self, node_states, batch: GraphBatch):
@@ -90,6 +96,10 @@ class RGAT(MessagePassing):
 
         num_types = batch.num_edge_types
         v = batch.num_nodes_padded
+        # Under SPMD-halo ``node_states`` are the pre-exchanged EXT states
+        # ([local | halo slabs] rows): the transformed/score tables span the
+        # ext row space the plans address; targets stay local.
+        vs = node_states.shape[0]
         heads = self.num_heads
         head_dim = self.hidden_dim // heads
         k_pad = self._padded_heads()
@@ -97,13 +107,13 @@ class RGAT(MessagePassing):
         transformed = TypedLinear(
             num_types, node_states.shape[-1], self.hidden_dim,
             name="edge_weights",
-        )(node_states)  # [L, V, H]
+        )(node_states)  # [L, Vs, H]
         attention_params = self.param(
             "edge_attention_parameters",
             nn.initializers.glorot_uniform(batch_axis=(0,)),
             (num_types, heads, 2 * head_dim),
         )
-        per_head = transformed.reshape(num_types, v, heads, head_dim)
+        per_head = transformed.reshape(num_types, vs, heads, head_dim)
         src_scores = jnp.einsum(
             "lvkd,lkd->lvk", per_head, attention_params[:, :, :head_dim]
         )
@@ -120,11 +130,11 @@ class RGAT(MessagePassing):
         # HK-MAJOR message layout (column hd * K + k) aligns a tiled repeat
         # of the K expd columns with the feature tile.
         table_hk = per_head.transpose(0, 1, 3, 2).reshape(
-            num_types * v, head_dim * k_pad
+            num_types * vs, head_dim * k_pad
         )
         scores = jnp.concatenate(
-            [src_scores.reshape(num_types * v, k_pad),
-             tgt_scores.reshape(num_types * v, k_pad)],
+            [src_scores.reshape(num_types * vs, k_pad),
+             tgt_scores.reshape(num_types * vs, k_pad)],
             axis=1,
         )
         if self.edge_dtype != "float32":
@@ -134,7 +144,7 @@ class RGAT(MessagePassing):
         if batch.pair_plans is not None:
             denom, weighted = pair_attention(
                 table_hk, scores, *batch.pair_plans[:10], v, k_pad,
-                self.attention_stabiliser,
+                self.attention_stabiliser, vs if vs != v else None,
             )
         else:
             # Row-split form: one single-type launch per edge type (the

@@ -97,8 +97,9 @@ RESIDENT_BUDGET_BYTES = 13 * 1024 * 1024
 
 def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
                               num_heads: int, table_dtype,
-                              score_dtype) -> bool:
-    """Static check for the fused pair-attention path."""
+                              score_dtype, src_space: int = None) -> bool:
+    """Static check for the fused pair-attention path. ``src_space`` is one
+    type's source-row count in the packed tables (ext under SPMD-halo)."""
     if num_heads <= 0 or hidden_dim % num_heads or TILE % num_heads:
         return False
     # The kernels tile the K head columns up to ACC_W lanes
@@ -123,7 +124,8 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
     den_resident = ACC_W * num_nodes * 4
     if table_tile + den_resident > TABLE_BUDGET_BYTES:
         return False  # aggregation kernel (expd arrives as a stream)
-    num_types = max(rows // max(num_nodes, 1), 1)
+    vs = num_nodes if src_space is None else src_space
+    num_types = max(rows // max(vs, 1), 1)
     extra = ACC_W + num_heads * (num_types + 1)
     haug = max(-(-(hidden_dim + extra) // TILE) * TILE, TILE)
     dw_resident = num_nodes * haug * t_item
@@ -143,20 +145,22 @@ _slot_ids_jnp = slot_abs_ids
 
 
 def _slot_logits_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
-                     num_nodes: int, swap: bool):
+                     num_nodes: int, swap: bool, src_space: int = None):
     """Per-slot (pre-activation p, logit, tgt node, src row, valid) on one
     plan direction. ``swap=True`` reads a BACKWARD plan, whose plan-"src"
-    role is the original target node and plan-"tgt" role the source row."""
+    role is the original target node and plan-"tgt" role the source row.
+    ``src_space`` is one edge type's source-row count in the packed scores
+    table (the ext halo row space under SPMD; num_nodes otherwise)."""
     a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
     if swap:
         src_rows, tgt_nodes = b_abs, a_abs
     else:
         src_rows, tgt_nodes = a_abs, b_abs
     k = scores.shape[1] // 2
-    v = num_nodes
-    ltype = src_rows // v
+    vs = num_nodes if src_space is None else src_space
+    ltype = src_rows // vs
     ss = jnp.take(scores, src_rows, axis=0, mode="clip")[:, :k]
-    ts = jnp.take(scores, ltype * v + tgt_nodes, axis=0, mode="clip")[:, k:]
+    ts = jnp.take(scores, ltype * vs + tgt_nodes, axis=0, mode="clip")[:, k:]
     p = ss.astype(jnp.float32) + ts.astype(jnp.float32)
     logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
     return p, logit, tgt_nodes, src_rows, valid
@@ -167,7 +171,8 @@ def _slot_logits_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 # ---------------------------------------------------------------------------
 
 def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
-                       num_nodes: int, num_heads: int):
+                       num_nodes: int, num_heads: int,
+                       src_space: int = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -175,10 +180,11 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
     k2 = scores.shape[1]
     k = num_heads
     v = num_nodes
+    vs = v if src_space is None else src_space
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
-    v_blocks = v // BLK
+    vs_blocks = vs // BLK
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scores_hbm,
                neg_ref, out_ref, sc_vmem, copy_sem):
@@ -198,7 +204,7 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
             rel_s = rel_s_ref[c, :]
             rel_t = rel_t_ref[c, :]
             sblk = src_blk_ref[g * group + c]
-            tsb = (sblk * BLK // v) * v_blocks + grp_tgt_ref[g]
+            tsb = (sblk * BLK // vs) * vs_blocks + grp_tgt_ref[g]
             oh_s = (cols_i == rel_s[:, None]).astype(sc_vmem.dtype)
             oh_tT = (cols_i == rel_t[:, None]).astype(sc_vmem.dtype)
             ss = jnp.dot(oh_s, sc_vmem[pl.ds(sblk * BLK, BLK), :],
@@ -262,10 +268,11 @@ def _max_kernel_device(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 
 
 def _max_kernel_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
-                    num_nodes: int, num_heads: int):
+                    num_nodes: int, num_heads: int, src_space: int = None):
     del num_heads
     _, logit, tgt, _, valid = _slot_logits_jnp(
-        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=False)
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=False,
+        src_space=src_space)
     logit = jnp.where(valid[:, None], logit, NEG)
     seg = jnp.where(valid, tgt, num_nodes)
     return jax.ops.segment_max(
@@ -274,13 +281,15 @@ def _max_kernel_jnp(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 
 
 def pair_attention_max(scores, rel_src, rel_tgt, src_blk, grp_tgt,
-                       num_nodes: int, num_heads: int, interpret=None):
+                       num_nodes: int, num_heads: int, interpret=None,
+                       src_space: int = None):
     """[V, K] per-(target, head) max logit over the plan's kernel slots
     (NEG on targets with no in-edges)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fn = _max_kernel_jnp if interpret else _max_kernel_device
-    out = fn(scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads)
+    out = fn(scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads,
+             src_space=src_space)
     if interpret:
         # segment_max leaves -inf/zeros mix; normalise empty targets to NEG.
         out = jnp.maximum(out, NEG)
@@ -293,7 +302,7 @@ def pair_attention_max(scores, rel_src, rel_tgt, src_blk, grp_tgt,
 
 def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool,
-                        with_slope: bool):
+                        with_slope: bool, src_space: int = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -302,10 +311,11 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     k = num_heads
     w = _expd_width(k)
     v = num_nodes
+    vs = v if src_space is None else src_space
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
-    v_blocks = v // BLK
+    vs_blocks = vs // BLK
 
     # ONE wide augmented score table [rows, 3W] (48 lanes for the shipped
     # K=4 — still a single 128-lane VMEM tile, so it costs the same 6.2 MB
@@ -322,13 +332,18 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
     # sections peel off the target-row dot with cheap in-vreg lane shifts.
     # _stabilise already rounded the maxes to the stream dtype, so storing
     # them at scores.dtype is exact.
-    num_types = rows // v
+    num_types = rows // vs
     rep = w // k
+    # The stabiliser slab must align with the ts rows (l * vs + t): pad the
+    # [v, K] maxes to vs rows before tiling over the type axis (the padded
+    # halo rows are never gathered — target rel ids stay < v).
+    mx_rows = maxes.astype(scores.dtype)
+    if vs != v:
+        mx_rows = jnp.pad(mx_rows, ((0, vs - v), (0, 0)))
     aug = jnp.concatenate(
         [jnp.tile(scores[:, :k], (1, rep)),
          jnp.tile(scores[:, k:2 * k], (1, rep)),
-         jnp.tile(jnp.tile(maxes.astype(scores.dtype), (num_types, 1)),
-                  (1, rep))],
+         jnp.tile(jnp.tile(mx_rows, (num_types, 1)), (1, rep))],
         axis=1,
     )
 
@@ -362,7 +377,7 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                 u_blk = src_blk_ref[g * group + c]
                 v_blk = grp_tgt_ref[g]
                 rel_u, rel_v = rel_s, rel_t
-            tsb = (u_blk * BLK // v) * v_blocks + v_blk
+            tsb = (u_blk * BLK // vs) * vs_blocks + v_blk
             oh_u = (cols_i == rel_u[:, None]).astype(sc_vmem.dtype)
             oh_v = (cols_i == rel_v[:, None]).astype(sc_vmem.dtype)
             # Transposed-lhs contractions put SLOTS ON LANES: results are
@@ -420,10 +435,11 @@ def _expd_kernel_device(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
 
 def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                      num_nodes: int, num_heads: int, swap: bool,
-                     with_slope: bool):
+                     with_slope: bool, src_space: int = None):
     w = _expd_width(num_heads)
     p, logit, tgt, _, valid = _slot_logits_jnp(
-        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap)
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=swap,
+        src_space=src_space)
     mx = jnp.take(maxes, tgt, axis=0, mode="clip")
     expd = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
     rep = w // num_heads
@@ -438,7 +454,8 @@ def _expd_kernel_jnp(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
 
 def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
                         num_nodes: int, num_heads: int, swap: bool = False,
-                        interpret=None, with_slope: bool = True):
+                        interpret=None, with_slope: bool = True,
+                        src_space: int = None):
     """Per-slot (expd, slope) in the slot order of the given plan direction,
     TRANSPOSED f32 ``[W, slots]`` with W = _expd_width(K) (row r = head
     ``r % K``). Slots-on-lanes keeps the stream lane-DENSE (the old
@@ -456,7 +473,7 @@ def pair_attention_expd(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
         interpret = jax.default_backend() != "tpu"
     fn = _expd_kernel_jnp if interpret else _expd_kernel_device
     return fn(scores, maxes, rel_src, rel_tgt, src_blk, grp_tgt,
-              num_nodes, num_heads, swap, with_slope)
+              num_nodes, num_heads, swap, with_slope, src_space=src_space)
 
 # ---------------------------------------------------------------------------
 # Kernel B: softmax denominators + exp-weighted message sums (forward plan,
@@ -642,7 +659,8 @@ def pair_attention_agg(table, expd, rel_src, rel_tgt, src_blk, grp_tgt,
 
 def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
                       rel_src, rel_tgt, src_blk, grp_tgt,
-                      num_nodes: int, num_heads: int):
+                      num_nodes: int, num_heads: int,
+                      src_space: int = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -651,11 +669,12 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
     w = _expd_width(k)
     aw = ACC_W
     v = num_nodes
-    v_blocks = v // BLK
+    vs = v if src_space is None else src_space
+    vs_blocks = vs // BLK
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
-    num_types = table.shape[0] // v
+    num_types = table.shape[0] // vs
 
     # Augment: the kernel's two one-hot gathers (source rows from the table,
     # target rows from the cotangent) carry EVERYTHING the pass needs, so
@@ -678,7 +697,7 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
          scores[:, :k].astype(stream_dtype),
          jnp.zeros((table.shape[0], haug - ts_base), stream_dtype)], axis=1)
     ts_slabs = (scores[:, k:2 * k].astype(stream_dtype)
-                .reshape(num_types, v, k)
+                .reshape(num_types, vs, k)[:, :v]
                 .transpose(1, 0, 2).reshape(v, num_types * k))
     dw_aug = jnp.concatenate(
         [d_weighted.astype(stream_dtype)[:, :h],
@@ -714,7 +733,7 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
             dma.wait()
 
         u_blk = grp_tgt_ref[g]                 # merged source-row block
-        ltype = u_blk * BLK // v               # edge type (group-constant)
+        ltype = u_blk * BLK // vs              # edge type (group-constant)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
         ss_contrib = jnp.zeros((BLK, w), jnp.float32)
         tab_contrib = jnp.zeros((BLK, haug), jnp.float32)
@@ -772,7 +791,7 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
                 d_p, oh_v.astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=EXACT)                           # [ACC_W, BLK]
-            out_blk = ltype * v_blocks + v_blk
+            out_blk = ltype * vs_blocks + v_blk
             dts_acc[:, pl.ds(out_blk * BLK, BLK)] = (
                 dts_acc[:, pl.ds(out_blk * BLK, BLK)] + contrib_t)
 
@@ -852,9 +871,10 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
 
 def _bwd_fused_jnp(table, d_weighted, d_denom, scores, maxes,
                    rel_src, rel_tgt, src_blk, grp_tgt,
-                   num_nodes: int, num_heads: int):
+                   num_nodes: int, num_heads: int, src_space: int = None):
     rows = table.shape[0]
     v = num_nodes
+    vs = v if src_space is None else src_space
     k = num_heads
     head_dim = table.shape[1] // k
     a_abs, b_abs, valid = _slot_ids_jnp(rel_src, rel_tgt, src_blk, grp_tgt)
@@ -867,14 +887,15 @@ def _bwd_fused_jnp(table, d_weighted, d_denom, scores, maxes,
     # expd/slope recomputed in backward slot order from scores + maxes
     # (the device kernel reads them off its bundled gathers).
     p, logit, tgt_b, _, _ = _slot_logits_jnp(
-        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=True)
+        scores, rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, swap=True,
+        src_space=src_space)
     mx = jnp.take(maxes, tgt_b, axis=0, mode="clip")
     e_n = jnp.where(valid[:, None], jnp.exp(logit - mx), 0.0)
     slope = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
     d_p = e_n * slope * de * valid[:, None]
     seg_src = jnp.where(valid, src_rows, rows)
     d_ss = jax.ops.segment_sum(d_p, seg_src, num_segments=rows + 1)[:rows]
-    seg_ts = jnp.where(valid, (src_rows // v) * v + tgt_nodes, rows)
+    seg_ts = jnp.where(valid, (src_rows // vs) * vs + tgt_nodes, rows)
     d_ts = jax.ops.segment_sum(d_p, seg_ts, num_segments=rows + 1)[:rows]
     scaled = dwg * jnp.tile(e_n * valid[:, None], (1, head_dim))
     d_table = jax.ops.segment_sum(scaled, seg_src,
@@ -885,7 +906,7 @@ def _bwd_fused_jnp(table, d_weighted, d_denom, scores, maxes,
 def pair_attention_bwd_fused(table, d_weighted, d_denom, scores, maxes,
                              rel_src, rel_tgt, src_blk, grp_tgt,
                              num_nodes: int, num_heads: int,
-                             interpret=None):
+                             interpret=None, src_space: int = None):
     """All three backward-plan gradients in one pass:
 
         d_src_scores[u, j] = sum over edges (u -> t) of d_p
@@ -902,36 +923,40 @@ def pair_attention_bwd_fused(table, d_weighted, d_denom, scores, maxes,
         interpret = jax.default_backend() != "tpu"
     fn = _bwd_fused_jnp if interpret else _bwd_fused_device
     return fn(table, d_weighted, d_denom, scores, maxes,
-              rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads)
+              rel_src, rel_tgt, src_blk, grp_tgt, num_nodes, num_heads,
+              src_space=src_space)
 
 # ---------------------------------------------------------------------------
 # The full fused attention primitive.
 # ---------------------------------------------------------------------------
 
-def _overflow_logits(scores, ovf_src, ovf_tgt, num_nodes: int):
+def _overflow_logits(scores, ovf_src, ovf_tgt, num_nodes: int,
+                     src_space: int = None):
     """(p, logit, valid) of the overflow edges (tiny XLA gathers)."""
     k = scores.shape[1] // 2
     v = num_nodes
+    vs = v if src_space is None else src_space
     valid = ovf_tgt < v
-    ltype = ovf_src // v
+    ltype = ovf_src // vs
     ss = jnp.take(scores, ovf_src, axis=0, mode="clip")[:, :k]
-    ts_row = ltype * v + jnp.minimum(ovf_tgt, v - 1)
+    ts_row = ltype * vs + jnp.minimum(ovf_tgt, v - 1)
     ts = jnp.take(scores, ts_row, axis=0, mode="clip")[:, k:]
     p = ss.astype(jnp.float32) + ts.astype(jnp.float32)
     logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
     return p, logit, valid
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def pair_attention(
-    table_hk: jnp.ndarray,      # [L*V, H] transformed states, HK-MAJOR heads
-    scores: jnp.ndarray,        # [L*V, 2K] packed (src | tgt) score halves
+    table_hk: jnp.ndarray,      # [L*Vs, H] transformed states, HK-MAJOR heads
+    scores: jnp.ndarray,        # [L*Vs, 2K] packed (src | tgt) score halves
     rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,   # forward PairPlan
     rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,   # backward PairPlan
     ovf_src, ovf_tgt,
     num_nodes: int,
     num_heads: int,
     stabiliser: str = "exact",
+    src_space: int = None,
 ):
     """Fused relational multi-head attention aggregation on pair plans:
 
@@ -951,18 +976,20 @@ def pair_attention(
     """
     denom, weighted, _ = _pair_attention_fwd_parts(
         table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser,
+        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser, src_space,
     )
     return denom, weighted
 
 
-def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int):
+def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int,
+                src_space: int = None):
     """Raw per-(target, head) max of ONE launch — kernel slots + its
     overflow edges ([V, K] f32, NEG on empty targets)."""
-    m_k = pair_attention_max(scores, *fwd_plan, v, k)
+    m_k = pair_attention_max(scores, *fwd_plan, v, k, src_space=src_space)
     if ovf_src.shape[0] == 0:  # plans with no spilled edges (the common case)
         return m_k
-    _, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
+    _, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v,
+                                       src_space)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     m_o = jax.ops.segment_max(
         jnp.where(valid_o[:, None], l_o, NEG), seg_o, num_segments=v + 1
@@ -970,7 +997,7 @@ def _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v: int, k: int):
     return jnp.maximum(m_k, jnp.maximum(m_o, NEG))
 
 
-def _bound_stabiliser(scores, v: int, k: int):
+def _bound_stabiliser(scores, v: int, k: int, src_space: int = None):
     """[V, K] upper bound on the per-(target, head) max logit, computed in
     NODE SPACE with two tiny dense reduces — no kernel pass over the edge
     plans at all (the exact max kernel costs ~2.5 ms/layer at the PPI bench
@@ -990,9 +1017,11 @@ def _bound_stabiliser(scores, v: int, k: int):
     p_bound = LEAKY_SLOPE * NEG — the same huge-negative finite stabiliser
     the exact max yields for them (their garbage output is sliced away by
     the caller, identically under either stabiliser)."""
-    num_types = scores.shape[0] // v
-    ss = scores[:, :k].astype(jnp.float32).reshape(num_types, v, k)
-    ts = scores[:, k:2 * k].astype(jnp.float32).reshape(num_types, v, k)
+    vs = v if src_space is None else src_space
+    num_types = scores.shape[0] // vs
+    ss = scores[:, :k].astype(jnp.float32).reshape(num_types, vs, k)
+    ts = scores[:, k:2 * k].astype(jnp.float32).reshape(
+        num_types, vs, k)[:, :v]
     smax = jnp.max(ss, axis=1)                        # [L, K]
     p_bound = jnp.max(smax[:, None, :] + ts, axis=0)  # [V, K]
     return jnp.where(p_bound >= 0, p_bound, LEAKY_SLOPE * p_bound)
@@ -1048,7 +1077,7 @@ def _headmajor_sums(table, expd_f, fwd_plan, v: int, k: int):
 
 
 def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
-                 v: int, k: int):
+                 v: int, k: int, src_space: int = None):
     """(denom, weighted, expd_o, slope_o) of one launch under a GIVEN
     stabiliser (which may span several launches — the per-type form).
 
@@ -1061,7 +1090,7 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
     in-register recompute: it pays the gathers exactly once."""
     head_dim = table.shape[1] // k
     expd_f, _ = pair_attention_expd(scores, m_safe, *fwd_plan, v, k,
-                                    with_slope=False)
+                                    with_slope=False, src_space=src_space)
     # Measured cost model (TPU v5e, PPI bench shape, 2026-08-19): one
     # head-major pair_spmm launch sweeps the chunk plan once (~0.32
     # ms/launch at 2800 chunks) while one agg-kernel feature tile costs
@@ -1081,7 +1110,8 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
     if ovf_src.shape[0] == 0:  # no spilled edges (the common case)
         zero_o = jnp.zeros((0, k), jnp.float32)
         return denom, weighted, zero_o, zero_o
-    p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v)
+    p_o, l_o, valid_o = _overflow_logits(scores, ovf_src, ovf_tgt, v,
+                                         src_space)
     seg_o = jnp.where(valid_o, ovf_tgt, v)
     expd_o = jnp.where(
         valid_o[:, None],
@@ -1101,13 +1131,15 @@ def _launch_sums(table, scores, m_safe, fwd_plan, ovf_src, ovf_tgt,
 
 
 def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
-                bwd_plan, ovf_src, ovf_tgt, expd_o, slope_o, v: int, k: int):
+                bwd_plan, ovf_src, ovf_tgt, expd_o, slope_o, v: int, k: int,
+                src_space: int = None):
     """(d_src_scores, d_tgt_scores, d_table) of one launch — the fused
     backward kernel plus its overflow terms."""
     rows = table.shape[0]
     head_dim = table.shape[1] // k
     d_ss, d_ts, d_table = pair_attention_bwd_fused(
         table, dw_stream, d_denom, scores, m_safe, *bwd_plan, v, k,
+        src_space=src_space,
     )
     if ovf_src.shape[0] == 0:  # no spilled edges (the common case)
         return d_ss, d_ts, d_table
@@ -1123,9 +1155,10 @@ def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
         dwg_o * jnp.tile(expd_o, (1, head_dim)), ovf_src,
         num_segments=rows)
     d_ss = d_ss + jax.ops.segment_sum(d_p_o, ovf_src, num_segments=rows)
-    ltype_o = ovf_src // v
+    vs = v if src_space is None else src_space
+    ltype_o = ovf_src // vs
     d_ts = d_ts + jax.ops.segment_sum(
-        d_p_o, jnp.where(valid_o, ltype_o * v + tgt_o, rows),
+        d_p_o, jnp.where(valid_o, ltype_o * vs + tgt_o, rows),
         num_segments=rows + 1)[:rows]
     return d_ss, d_ts, d_table
 
@@ -1133,26 +1166,28 @@ def _launch_bwd(table, scores, m_safe, d_denom, d_weighted, dw_stream,
 def _pair_attention_fwd_parts(table_hk, scores, rel_src_f, rel_tgt_f,
                               src_blk_f, grp_tgt_f, ovf_src, ovf_tgt,
                               num_nodes: int, num_heads: int,
-                              stabiliser: str = "exact"):
+                              stabiliser: str = "exact",
+                              src_space: int = None):
     v = num_nodes
     k = num_heads
     fwd_plan = (rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f)
     if stabiliser == "bound":
-        m = _bound_stabiliser(scores, v, k)
+        m = _bound_stabiliser(scores, v, k, src_space)
     else:
-        m = _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v, k)
+        m = _launch_max(scores, fwd_plan, ovf_src, ovf_tgt, v, k, src_space)
     m_safe = _stabilise(m, table_hk.dtype)
     denom, weighted, expd_o, slope_o = _launch_sums(
-        table_hk, scores, m_safe, fwd_plan, ovf_src, ovf_tgt, v, k)
+        table_hk, scores, m_safe, fwd_plan, ovf_src, ovf_tgt, v, k,
+        src_space)
     return denom, weighted, (m_safe, expd_o, slope_o)
 
 
 def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
             rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt,
-            num_nodes, num_heads, stabiliser):
+            num_nodes, num_heads, stabiliser, src_space):
     denom, weighted, saved = _pair_attention_fwd_parts(
         table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser,
+        ovf_src, ovf_tgt, num_nodes, num_heads, stabiliser, src_space,
     )
     m_safe, expd_o, slope_o = saved
     res = (table_hk, scores, m_safe, expd_o, slope_o,
@@ -1160,7 +1195,7 @@ def _pa_fwd(table_hk, scores, rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
     return (denom, weighted), res
 
 
-def _pa_bwd(num_nodes, num_heads, stabiliser, res, g):
+def _pa_bwd(num_nodes, num_heads, stabiliser, src_space, res, g):
     (table_hk, scores, m_safe, expd_o, slope_o,
      rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, ovf_src, ovf_tgt) = res
     d_denom, d_weighted = g
@@ -1172,7 +1207,7 @@ def _pa_bwd(num_nodes, num_heads, stabiliser, res, g):
     d_ss, d_ts, d_table = _launch_bwd(
         table_hk, scores, m_safe, d_denom, d_weighted, dw_stream,
         (rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b), ovf_src, ovf_tgt,
-        expd_o, slope_o, num_nodes, num_heads,
+        expd_o, slope_o, num_nodes, num_heads, src_space,
     )
     d_scores = jnp.concatenate([d_ss, d_ts], axis=1).astype(scores.dtype)
     return (d_table.astype(table_hk.dtype), d_scores) + (None,) * 10
