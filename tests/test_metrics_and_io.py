@@ -63,3 +63,28 @@ def test_read_by_file_suffix_formats(tmp_path):
 
     with pytest.raises(ValueError):
         read_by_file_suffix(tmp_path / "nope.xyz")
+
+
+def test_remote_uri_resolver_registry(tmp_path):
+    """Remote schemes (the reference's azure:// RichPath) resolve through the
+    pluggable registry; unregistered schemes raise a message naming it."""
+    import pytest
+
+    from tf2_gnn_tpu.data import io as io_mod
+
+    with pytest.raises(NotImplementedError, match="register_path_resolver"):
+        read_by_file_suffix("azure://container/path/data.json")
+
+    (tmp_path / "staged.json").write_text('{"k": 9}')
+    calls = []
+
+    def resolver(uri):
+        calls.append(uri)
+        return tmp_path / "staged.json"
+
+    io_mod.register_path_resolver("azure", resolver)
+    try:
+        assert read_by_file_suffix("azure://container/x/data.json") == {"k": 9}
+        assert calls == ["azure://container/x/data.json"]
+    finally:
+        io_mod._PATH_RESOLVERS.pop("azure", None)

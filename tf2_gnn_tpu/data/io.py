@@ -3,29 +3,57 @@
 The reference reads data through dpu-utils' RichPath
 (``read_by_file_suffix`` over .json / .jsonl.gz / .npy / .pkl.gz). We support
 the same suffixes with plain stdlib/numpy so datasets stay drop-in loadable.
+
+Remote URI schemes (the reference's azure:// via dpu-utils' AzurePath,
+tf2_gnn/data/graph_dataset.py:7) go through a pluggable RESOLVER registry:
+``register_path_resolver("azure", fn)`` installs ``fn(uri) -> local path``
+(download/cache however the deployment likes — azure-storage-blob, azcopy,
+gcsfuse, a read-through cache). This keeps the storage SDK out of the
+framework (the TPU host image rarely ships it) while keeping azure:// URIs
+in configs working once a deployment registers its resolver.
 """
 import gzip
 import json
 import pickle
 from pathlib import Path
-from typing import Any, Iterator, Union
+from typing import Any, Callable, Dict, Iterator, Union
 
 import numpy as np
 
 PathLike = Union[str, Path]
 
+# scheme (no "://") -> fn(uri) -> local filesystem path to read instead.
+_PATH_RESOLVERS: Dict[str, Callable[[str], PathLike]] = {}
+
+
+def register_path_resolver(scheme: str,
+                           resolver: Callable[[str], PathLike]) -> None:
+    """Install a handler for ``<scheme>://...`` URIs (e.g. "azure").
+
+    The resolver receives the full URI and returns a local path whose
+    contents are the staged/downloaded object. Registered once per process
+    (e.g. in a deployment's sitecustomize or run script)."""
+    _PATH_RESOLVERS[scheme] = resolver
+
+
+def _resolve(path: PathLike) -> PathLike:
+    if isinstance(path, str) and "://" in path:
+        scheme = path.split("://", 1)[0]
+        resolver = _PATH_RESOLVERS.get(scheme)
+        if resolver is None:
+            raise NotImplementedError(
+                f"No path resolver registered for {scheme}:// ({path}). "
+                "Either register one with tf2_gnn_tpu.data.io."
+                "register_path_resolver(...) (e.g. an azure-storage-blob "
+                "download-and-cache hook), or stage the container locally "
+                "(azcopy) and pass that path."
+            )
+        return resolver(path)
+    return path
+
 
 def read_by_file_suffix(path: PathLike) -> Any:
-    if isinstance(path, str) and path.startswith("azure://"):
-        # The reference reads azure:// URIs via dpu-utils' AzurePath
-        # (tf2_gnn/data/graph_dataset.py:7). This framework is filesystem
-        # only; stage the container locally (e.g. azcopy) and point at it.
-        raise NotImplementedError(
-            f"azure:// paths are not supported ({path}). Download the "
-            "container to a local directory (e.g. with azcopy or "
-            "azure-storage-blob) and pass that path instead."
-        )
-    path = Path(path)
+    path = Path(_resolve(path))
     name = path.name
     if name.endswith(".jsonl.gz"):
         return list(iter_jsonl_gz(path))

@@ -127,8 +127,9 @@ def run_train_from_args(
         jax.config.update("jax_disable_jit", True)
         log("jit disabled (--disable-tf-func): running steps eagerly.")
     if getattr(args, "azure_info", None):
-        log("--azure-info accepted for compatibility, but azure:// paths "
-            "are unsupported here (see data/io.py).")
+        log("--azure-info accepted for compatibility; azure:// paths "
+            "resolve through data/io.py::register_path_resolver (install "
+            "a download-and-cache hook for your storage SDK).")
 
     seed = getattr(args, "random_seed", 0)
     set_seeds(seed)
