@@ -46,6 +46,7 @@ def run_at(n_devices, nodes_per_device, edges_per_device, hidden, layers, steps)
 
     params = NodeMulticlassTask.get_default_hyperparameters("rgin")
     params.update({"gnn_hidden_dim": hidden, "gnn_num_layers": layers,
+                   "gnn_edge_dtype": "bfloat16",
                    "gnn_global_exchange_every_num_layers": 10000})
     model = NodeMulticlassTask.from_params(params)
     optimizer = make_optimizer(params)
@@ -55,7 +56,7 @@ def run_at(n_devices, nodes_per_device, edges_per_device, hidden, layers, steps)
     batch, batch_labels = partition_graph(
         nf, adjacency, node_to_graph, num_graphs=1, num_shards=n_devices,
         num_graphs_padded=2, node_labels={"node_labels": labels},
-        build_scatter_plans=True,
+        build_pair_plans=True,  # every shard rides the block-pair fast path
     )
     template = jax.tree.map(lambda x: x[0], batch).replace(spmd_axis=None)
     state = create_train_state(model, template, optimizer, seed=0)
