@@ -126,7 +126,7 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
         return False  # aggregation kernel (expd arrives as a stream)
     vs = num_nodes if src_space is None else src_space
     num_types = max(rows // max(vs, 1), 1)
-    extra = ACC_W + num_heads * (num_types + 1)
+    extra = ACC_W + 2 * _expd_width(num_heads) + num_heads * num_types
     haug = max(-(-(hidden_dim + extra) // TILE) * TILE, TILE)
     dw_resident = num_nodes * haug * t_item
     dts_resident = ACC_W * rows * 4
@@ -687,14 +687,22 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
     # 64 spare >= 16+4+3*4 at the bench shape) — else one tile is appended.
     stream_dtype = table.dtype
     h = table.shape[1]
+    rep = w // k
     ss_base = h + aw
-    ts_base = ss_base + k
-    extra = aw + k + num_types * k
+    ts_base = ss_base + w
+    # ss (table side) and the stabiliser (cotangent side) ride their
+    # gathers TILED TO THE STREAM WIDTH W, so the in-kernel expd/slope
+    # recompute runs wide from the start — the old per-chunk narrow
+    # [E_C, K] math and two of the three pltpu.repeat lane-relayouts (the
+    # measured cost class of the old expd kernel) disappear. The per-type
+    # ts slabs stay K-narrow (W-wide slabs would blow the spare lane-tile
+    # budget); their predicated pick is the one remaining small repeat.
+    extra = aw + w + w + num_types * k
     haug = max(((h + extra + TILE - 1) // TILE) * TILE, TILE)
     table_aug = jnp.concatenate(
         [table,
          jnp.ones((table.shape[0], aw), stream_dtype),
-         scores[:, :k].astype(stream_dtype),
+         jnp.tile(scores[:, :k].astype(stream_dtype), (1, rep)),
          jnp.zeros((table.shape[0], haug - ts_base), stream_dtype)], axis=1)
     ts_slabs = (scores[:, k:2 * k].astype(stream_dtype)
                 .reshape(num_types, vs, k)[:, :v]
@@ -702,7 +710,7 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
     dw_aug = jnp.concatenate(
         [d_weighted.astype(stream_dtype)[:, :h],
          jnp.tile(d_denom, (1, aw // k)).astype(stream_dtype),
-         maxes.astype(stream_dtype),
+         jnp.tile(maxes.astype(stream_dtype), (1, rep)),
          ts_slabs,
          jnp.zeros((v, haug - ts_base - num_types * k), stream_dtype)],
         axis=1)
@@ -751,20 +759,19 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
                            preferred_element_type=jnp.float32,
                            precision=_prec(stream_dtype))  # [E_C, Haug]
             # expd/slope from the bundled score columns of the two gathers
-            # (same dtype+precision as the expd kernel's own score gathers).
-            ss = msgs[:, ss_base:ss_base + k]
-            mx = dwg[:, ss_base:ss_base + k]
+            # (same dtype+precision as the expd kernel's own score gathers);
+            # ss/mx arrive W-wide, so everything below is stream-width.
+            ss = msgs[:, ss_base:ss_base + w]
+            mx = dwg[:, ss_base:ss_base + w]
             ts = jnp.zeros((E_C, k), jnp.float32)
             for l in range(num_types):
                 m_l = (ltype == l).astype(jnp.float32)
                 ts = ts + m_l * dwg[:, ts_base + l * k:ts_base + (l + 1) * k]
-            p = ss + ts
+            p = ss + pltpu.repeat(ts, w // k, axis=1)
             logit = jnp.where(p >= 0, p, LEAKY_SLOPE * p)
             valid = (rel_v[:, None] < BLK) & (rel_u[:, None] < BLK)
-            e_k = jnp.where(valid, jnp.exp(logit - mx), 0.0)
-            s_k = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
-            e_c = pltpu.repeat(e_k, w // k, axis=1)        # [E_C, W]
-            s_c = pltpu.repeat(s_k, w // k, axis=1)
+            e_c = jnp.where(valid, jnp.exp(logit - mx), 0.0)   # [E_C, W]
+            s_c = jnp.where(p >= 0, 1.0, LEAKY_SLOPE)
             # The head-sum contraction follows the stream precision contract
             # (its inputs are already products of stream-rounded values).
             de = jnp.dot((msgs * dwg).astype(stream_dtype), p_ref[:, :],
