@@ -22,7 +22,7 @@ CPU devices each, gloo collectives — a DP train step across the process
 boundary must produce the same loss/params as one process with all eight
 devices (SURVEY §4 multi-process simulation).
 """
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np

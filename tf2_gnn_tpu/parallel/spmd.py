@@ -23,13 +23,12 @@ from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.graph_batch import GraphBatch
 from ..harness.training import TrainState
-from .data_parallel import _combine_metrics, _squeeze_leading
+from .data_parallel import _squeeze_leading
 
 
 def _round_up(value: int, multiple: int) -> int:
