@@ -100,7 +100,10 @@ def test_reorder_output_invariance_under_spmd():
 
     perm = locality_reorder(adj, nf.shape[0])
     nf2, adj2, n2g2, _ = apply_node_permutation(perm, nf, adj, n2g)
-    sharded, _ = partition_graph(nf2, adj2, n2g2, g, 8, num_graphs_padded=4)
+    # Reorder composed with the block-pair fast path under SPMD-halo.
+    sharded, _ = partition_graph(nf2, adj2, n2g2, g, 8, num_graphs_padded=4,
+                                 build_pair_plans=True)
+    assert sharded.pair_plans is not None
     fwd = make_spmd_forward(model, make_mesh(axis_name="nodes"))
     (spmd_logits,) = fwd(variables["params"], sharded)
     flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
