@@ -82,6 +82,13 @@ class RGAT(MessagePassing):
             stream_dtype, stream_dtype, src_space=batch.pair_src_space,
         )
 
+    def _halo_overlap_capable(self, batch: GraphBatch) -> bool:
+        # Only the pair-attention path self-assembles its ext tables from
+        # LOCAL states (so the boundary collective overlaps the local
+        # transforms); the scatter-plan fused path expects pre-exchanged
+        # ext states and must keep receiving them.
+        return self._pair_attention_applicable_static(batch)
+
     def _pair_attention_aggregate(self, node_states, batch: GraphBatch):
         """Flash-style fused RGAT on the block-pair plans
         (ops/pair_attention.py): max, expd, denominators and exp-weighted
@@ -96,18 +103,36 @@ class RGAT(MessagePassing):
 
         num_types = batch.num_edge_types
         v = batch.num_nodes_padded
-        # Under SPMD-halo ``node_states`` are the pre-exchanged EXT states
-        # ([local | halo slabs] rows): the transformed/score tables span the
-        # ext row space the plans address; targets stay local.
-        vs = node_states.shape[0]
         heads = self.num_heads
         head_dim = self.hidden_dim // heads
         k_pad = self._padded_heads()
 
-        transformed = TypedLinear(
-            num_types, node_states.shape[-1], self.hidden_dim,
-            name="edge_weights",
-        )(node_states)  # [L, Vs, H]
+        mod = TypedLinear(num_types, node_states.shape[-1], self.hidden_dim,
+                          name="edge_weights")
+        if (batch.spmd_axis is not None and batch.halo_mode
+                and node_states.shape[0] == batch.num_nodes_padded):
+            # Halo-overlap form: LOCAL states in, ext tables self-assembled —
+            # the boundary collective's input is the RAW states, so XLA's
+            # latency-hiding scheduler runs it concurrently with the local
+            # transform (the per-type map is row-wise, so
+            # transform(exchange(x)) == exchange'(transform(x)) exactly).
+            local_t = mod(node_states)
+            halo = self._halo_recv(node_states, batch)
+            parts = [local_t]
+            if halo is not None:
+                parts.append(mod(halo))
+            pad = batch.halo_ext_nodes - sum(p.shape[1] for p in parts)
+            if pad:
+                parts.append(jnp.zeros(
+                    (num_types, pad, self.hidden_dim), local_t.dtype))
+            transformed = (jnp.concatenate(parts, axis=1)
+                           if len(parts) > 1 else parts[0])
+            vs = batch.halo_ext_nodes
+        else:
+            # Single-chip, or pre-exchanged EXT states ([local | halo] rows):
+            # the tables span whatever row space arrives; targets stay local.
+            transformed = mod(node_states)  # [L, Vs, H]
+            vs = node_states.shape[0]
         attention_params = self.param(
             "edge_attention_parameters",
             nn.initializers.glorot_uniform(batch_axis=(0,)),
