@@ -88,26 +88,34 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
         return {"node_labels": pad_node_label_array(labels, config.num_nodes)}
 
 
-def run(epochs, flavour="rgcn", use_pairs=True, quiet=False):
+def run(epochs, flavour="rgcn", use_pairs=True, quiet=False,
+        ppi_shaped=False):
     """Train one configuration; returns the per-epoch valid F1 trajectory.
 
     ``use_pairs=False`` runs the plain XLA gather/segment path (no plans at
     all) — the A/B twin for validating that the fused kernels learn the
-    same function, not just match on fixed weights."""
+    same function, not just match on fixed weights. ``ppi_shaped=True``
+    scales the task to the shipped PPI_RGCN configuration (2400-node
+    graphs, 8064-node batches, 4 layers, hidden 320) — the closest
+    available stand-in for the real PPI convergence run (zero-egress
+    environment; PARITY.md §3)."""
     from tf2_gnn_tpu.harness.training import build_training, train_loop
     from tf2_gnn_tpu.models.node_multiclass_task import NodeMulticlassTask
 
     np.random.seed(0)  # identical TRAIN shuffles across A/B runs
     ds = SyntheticNeighbourhoodDataset(
         {**GraphDataset.get_default_hyperparameters(),
-         "max_nodes_per_batch": 1024, "use_pallas_spmm": use_pairs,
-         "use_pair_spmm": use_pairs}
+         "max_nodes_per_batch": 8064 if ppi_shaped else 1024,
+         "use_pallas_spmm": use_pairs,
+         "use_pair_spmm": use_pairs},
+        num_graphs=60 if ppi_shaped else 200,
+        nodes_per_graph=2400 if ppi_shaped else 200,
     )
     params = NodeMulticlassTask.get_default_hyperparameters(flavour)
     params.update(
         {
-            "gnn_hidden_dim": 128,
-            "gnn_num_layers": 2,
+            "gnn_hidden_dim": 320 if ppi_shaped else 128,
+            "gnn_num_layers": 4 if ppi_shaped else 2,
             "gnn_normalize_by_num_incoming": flavour != "rgat",
             "gnn_layer_input_dropout_rate": 0.0,
             "gnn_edge_dtype": "bfloat16",  # the flagship pair-kernel config
@@ -158,10 +166,13 @@ def main():
         }), flush=True)
         return
 
-    f1s = run(epochs, mode, use_pairs=True)
+    ppi_shaped = mode == "ppi-shaped"
+    f1s = run(epochs, "rgcn" if ppi_shaped else mode, use_pairs=True,
+              ppi_shaped=ppi_shaped)
     print(json.dumps({
-        "task": "synthetic_neighbourhood_multilabel",
-        "flavour": mode,
+        "task": "synthetic_neighbourhood_multilabel"
+                + ("_ppi_shaped" if ppi_shaped else ""),
+        "flavour": "rgcn" if ppi_shaped else mode,
         "initial_valid_f1": f1s[0] if f1s else None,
         "final_valid_f1": f1s[-1] if f1s else None,
         "epochs": epochs,
