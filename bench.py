@@ -160,6 +160,32 @@ def build_qm9_batch(seed: int):
     return batch, labels, mols
 
 
+def _timed_steps(train_step, state, batch, labels,
+                 base_steps: int = 8, full_steps: int = 24):
+    """Differenced host-forced step timing shared by every bench metric:
+    warm up, then time two run lengths and difference them (the final host
+    transfer forces completion; block_until_ready returns early through the
+    axon tunnel, and differencing cancels that fixed cost). Returns seconds
+    per step."""
+    import jax
+
+    def run(n, state):
+        t0 = time.perf_counter()
+        for i in range(n):
+            if isinstance(batch, list):
+                b, l = batch[i % len(batch)], labels[i % len(labels)]
+            else:
+                b, l = batch, labels
+            state, metrics = train_step(state, b, l)
+        _ = float(np.asarray(metrics["loss"]))
+        return time.perf_counter() - t0, state
+
+    _, state = run(WARMUP_STEPS, state)
+    t_base, state = run(base_steps, state)
+    t_full, state = run(full_steps, state)
+    return (t_full - t_base) / (full_steps - base_steps)
+
+
 def main():
     import sys
 
@@ -204,27 +230,11 @@ def main():
 
         # Move batches to device once (the measured loop is pure device
         # compute).
-        device_batches = [
-            (jax.device_put(b), jax.device_put(l)) for b, l, _ in batches
-        ]
-
-        def run(num_steps, state):
-            start = time.perf_counter()
-            for i in range(num_steps):
-                batch, labels = device_batches[i % len(device_batches)]
-                state, metrics = train_step(state, batch, labels)
-            # Host transfer forces real completion (block_until_ready
-            # returns early through the axon tunnel); differencing two run
-            # lengths below cancels this fixed transfer cost.
-            _ = float(np.asarray(metrics["loss"]))
-            return time.perf_counter() - start, state
-
-        _, state = run(WARMUP_STEPS, state)
-        t_base, state = run(TIMED_STEPS_BASE, state)
-        t_full, state = run(TIMED_STEPS_FULL, state)
-        elapsed = t_full - t_base
-        steps_per_s = (TIMED_STEPS_FULL - TIMED_STEPS_BASE) / elapsed
-        return steps_per_s * edges_per_step, steps_per_s * GRAPHS_PER_BATCH
+        device_b = [jax.device_put(b) for b, _, _ in batches]
+        device_l = [jax.device_put(l) for _, l, _ in batches]
+        per_step = _timed_steps(train_step, state, device_b, device_l,
+                                TIMED_STEPS_BASE, TIMED_STEPS_FULL)
+        return edges_per_step / per_step, GRAPHS_PER_BATCH / per_step
 
     def measure_rgat():
         """RGAT edges/s on the same PPI-shaped batch (pair-attention path,
@@ -245,18 +255,7 @@ def main():
         optimizer = make_optimizer(params)
         state = create_train_state(model, batch, optimizer, seed=0)
         train_step = make_train_step(model, optimizer)
-
-        def run(n, state):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, metrics = train_step(state, batch, labels)
-            _ = float(np.asarray(metrics["loss"]))
-            return time.perf_counter() - t0, state
-
-        _, state = run(WARMUP_STEPS, state)
-        t1, state = run(8, state)
-        t2, state = run(24, state)
-        return edges / ((t2 - t1) / 16)
+        return edges / _timed_steps(train_step, state, batch, labels)
 
     def measure_qm9():
         """QM9 molecules/s on the shipped QM9_RGCN config (8 layers, hidden
@@ -278,18 +277,7 @@ def main():
         optimizer = make_optimizer(params)
         state = create_train_state(model, batch, optimizer, seed=0)
         train_step = make_train_step(model, optimizer)
-
-        def run(n, state):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, metrics = train_step(state, batch, labels)
-            _ = float(np.asarray(metrics["loss"]))
-            return time.perf_counter() - t0, state
-
-        _, state = run(WARMUP_STEPS, state)
-        t1, state = run(8, state)
-        t2, state = run(24, state)
-        return mols / ((t2 - t1) / 16)
+        return mols / _timed_steps(train_step, state, batch, labels)
 
     # Fastest path first; a Mosaic/compile failure in a newer kernel family
     # falls back so the driver always records a number (the failure is

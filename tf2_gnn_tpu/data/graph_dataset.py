@@ -15,13 +15,13 @@ packs by node budget only, records per-type edge / graph-count maxima, then
 adds slack and rounds up (alignment 64) so that shuffled epochs stay within
 budget; the packer's enforcement makes any budget value *correct* regardless.
 """
-import math
 from abc import ABC, abstractmethod
 from enum import Enum
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
+from ..utils.shapes import round_up as _round_up
 from .graph_batch import GraphBatch, PaddingConfig, pad_batch_arrays
 
 
@@ -61,10 +61,6 @@ class GraphSample:
         return self._node_features.shape[0]
 
 
-def _round_up(value: int, multiple: int) -> int:
-    return int(math.ceil(max(value, 1) / multiple) * multiple)
-
-
 class GraphDataset(ABC):
     """Turns per-graph samples into statically-shaped padded minibatches."""
 
@@ -85,12 +81,14 @@ class GraphDataset(ABC):
             # one-hot matmuls and is preferred by the source-table fused
             # paths. Edges that don't fit the chunk budget spill into an
             # XLA fallback term with 'pair_overflow_budget' STATIC slots.
-            # The derived budgets are per-dataset maxima, so nothing ever
-            # spills and the default is 0 (padded overflow slots are not
-            # free: 2048 dead slots measured 0.9 ms/layer at the PPI bench
-            # shape). Set it only when forcing smaller chunk budgets.
+            # The derived chunk budgets are per-dataset maxima times
+            # padding_slack, but shuffled epochs REPACK batches and chunk
+            # demand depends on block-pair structure (which the packer does
+            # not bound), so a small overflow absorbs repack variance.
+            # Padded overflow slots are not free (2048 dead slots measured
+            # 0.9 ms/layer at the PPI bench shape); 64 costs ~30 us.
             "use_pair_spmm": False,
-            "pair_overflow_budget": 0,
+            "pair_overflow_budget": 64,
             # Build ONE single-type pair plan per edge type over the [V]
             # row space instead of one merged [L*V] plan — the row-split
             # form for graphs whose merged tables exceed the kernels' VMEM
@@ -319,7 +317,7 @@ class GraphDataset(ABC):
 
             pair_kwargs = {
                 "pair_overflow": int(self._params.get("pair_overflow_budget",
-                                                      2048)),
+                                                      64)),
             }
             if pair_per_type:
                 pair_kwargs["pair_chunks_typed"] = tuple(

@@ -317,14 +317,17 @@ class GNN_Edge_MLP(MessagePassing):
         in_dim = node_states.shape[-1]
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_src_0")(node_states)
+        # Target half on LOCAL rows only (under SPMD-halo ``node_states``
+        # are the pre-exchanged ext states; targets never live in halo
+        # rows, so transforming them would be wasted per-type matmuls).
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states)
+                               name="edge_mlp_tgt_0")(node_states[:v])
         src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
         src_flat = self._globalize_tables(src_flat, batch, num_types)
-        # Target half in TYPE-MINOR layout; target rows are always local.
-        tgt_tl = tgt_half[:, :v].transpose(1, 0, 2).reshape(v * num_types, -1)
+        # Target half in TYPE-MINOR layout.
+        tgt_tl = tgt_half.transpose(1, 0, 2).reshape(v * num_types, -1)
         if self.edge_dtype != "float32":
             tgt_tl = tgt_tl.astype(self.edge_dtype)
         z = plan_gather_src(

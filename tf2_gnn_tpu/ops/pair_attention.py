@@ -111,7 +111,8 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
     # sorted-scatter path.
     if num_heads > min(ACC_W, 8):
         return False
-    if num_nodes % BLK or rows % BLK:
+    vs_check = num_nodes if src_space is None else src_space
+    if num_nodes % BLK or vs_check % BLK or rows % vs_check:
         return False
     t_item = jnp.dtype(table_dtype).itemsize
     s_item = jnp.dtype(score_dtype).itemsize
@@ -126,7 +127,7 @@ def pair_attention_applicable(rows: int, num_nodes: int, hidden_dim: int,
         return False  # aggregation kernel (expd arrives as a stream)
     vs = num_nodes if src_space is None else src_space
     num_types = max(rows // max(vs, 1), 1)
-    extra = ACC_W + 2 * _expd_width(num_heads) + num_heads * num_types
+    extra = ACC_W + _expd_width(num_heads) + num_heads * num_types
     haug = max(-(-(hidden_dim + extra) // TILE) * TILE, TILE)
     dw_resident = num_nodes * haug * t_item
     dts_resident = ACC_W * rows * 4
@@ -697,7 +698,9 @@ def _bwd_fused_device(table, d_weighted, d_denom, scores, maxes,
     # measured cost class of the old expd kernel) disappear. The per-type
     # ts slabs stay K-narrow (W-wide slabs would blow the spare lane-tile
     # budget); their predicated pick is the one remaining small repeat.
-    extra = aw + w + w + num_types * k
+    # (ss and mx occupy the SAME lane offsets of their respective tables,
+    # so one W-slab covers both sides.)
+    extra = aw + w + num_types * k
     haug = max(((h + extra + TILE - 1) // TILE) * TILE, TILE)
     table_aug = jnp.concatenate(
         [table,

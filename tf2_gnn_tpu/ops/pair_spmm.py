@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.shapes import round_up as _round_up
 from .spmm_pallas import BLOCK_NODES as BLK
 
 E_C = 128    # edge slots per chunk (one (tgt_block, src_block) pair each)
@@ -56,10 +57,6 @@ TILE = 128   # feature tile; the wrapper pads H to a multiple of TILE
 # caller should fall back to the sorted-scatter path (row-splitting is the
 # future extension for huge tables).
 VMEM_TABLE_BUDGET_BYTES = 11 * 1024 * 1024
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return int(math.ceil(max(value, 1) / multiple) * multiple)
 
 
 # Dot precision: the kernels keep the MXU's DEFAULT single pass for every

@@ -28,11 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.graph_batch import GraphBatch
 from ..harness.training import TrainState
+from ..utils.shapes import round_up as _round_up
 from .data_parallel import _squeeze_leading
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return int(math.ceil(max(value, 1) / multiple) * multiple)
 
 
 def partition_graph(
