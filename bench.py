@@ -117,7 +117,7 @@ def build_qm9_batch(seed: int):
         pad_batch_arrays,
         pad_graph_label_array,
     )
-    from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans
+    from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans, choose_pair_groups
 
     rng = np.random.RandomState(seed)
     mols, nodes_per_mol, num_types = 909, 18, 5
@@ -146,11 +146,17 @@ def build_qm9_batch(seed: int):
         num_graphs=mols,
         config=config,
     )
+    gf, gb = choose_pair_groups(
+        [np.asarray(batch.edge_sources[0])],
+        [np.asarray(batch.edge_targets[0])],
+        [int(batch.num_edges[0])], v_pad,
+    )
     typed = tuple(
         build_pair_plans(
             [np.asarray(batch.edge_sources[t])],
             [np.asarray(batch.edge_targets[t])],
             [int(batch.num_edges[t])], v_pad,
+            group_fwd=gf, group_bwd=gb,
         ).astuple()
         for t in range(num_types)
     )

@@ -41,6 +41,14 @@ class PaddingConfig:
     # [L*V] row space exceeds the kernels' VMEM residency budget).
     pair_chunks_typed: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
         pytree_node=False, default=None)
+    # Grid-group sizes the pair plans were built with (chunks per grid step;
+    # chosen per dataset by ops/pair_spmm.py::choose_pair_groups — run
+    # alignment pads every output-block run to a multiple of the group, so
+    # tiny-run workloads want small groups).
+    pair_group_fwd: Optional[int] = struct.field(pytree_node=False,
+                                                 default=None)
+    pair_group_bwd: Optional[int] = struct.field(pytree_node=False,
+                                                 default=None)
 
     @property
     def num_edge_types(self) -> int:

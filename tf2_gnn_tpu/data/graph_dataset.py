@@ -241,6 +241,7 @@ class GraphDataset(ABC):
         max_edges_per_graph = [0] * self.num_edge_types
         max_graphs_per_batch = 0
         max_pair_fwd, max_pair_bwd = 0, 0
+        pair_groups = None  # (group_fwd, group_bwd), chosen on the 1st batch
         pair_per_type = bool(self._params.get("pair_per_type"))
         max_pair_typed = [[0, 0] for _ in range(self.num_edge_types)]
 
@@ -283,20 +284,35 @@ class GraphDataset(ABC):
                         srcs.append(merged[:, 0])
                         tgts.append(merged[:, 1])
                         counts.append(merged.shape[0])
+                    from ..ops.pair_spmm import choose_pair_groups
+
+                    merge = bool(self._params.get("pair_merge_targets"))
                     if pair_per_type:
+                        if pair_groups is None:
+                            pair_groups = choose_pair_groups(
+                                [srcs[0]], [tgts[0]], [counts[0]],
+                                node_budget,
+                            )
                         for t in range(self.num_edge_types):
                             f, b_ = measure_pair_chunks(
                                 [srcs[t]], [tgts[t]], [counts[t]],
                                 node_budget,
+                                group_fwd=pair_groups[0],
+                                group_bwd=pair_groups[1],
                             )
                             max_pair_typed[t][0] = max(max_pair_typed[t][0], f)
                             max_pair_typed[t][1] = max(max_pair_typed[t][1], b_)
                     else:
+                        if pair_groups is None:
+                            pair_groups = choose_pair_groups(
+                                srcs, tgts, counts, node_budget,
+                                merge_targets=merge,
+                            )
                         f, b_ = measure_pair_chunks(
                             srcs, tgts, counts, node_budget,
-                            merge_targets=bool(
-                                self._params.get("pair_merge_targets")
-                            ),
+                            merge_targets=merge,
+                            group_fwd=pair_groups[0],
+                            group_bwd=pair_groups[1],
                         )
                         max_pair_fwd = max(max_pair_fwd, f)
                         max_pair_bwd = max(max_pair_bwd, b_)
@@ -315,21 +331,25 @@ class GraphDataset(ABC):
         if use_pairs:
             from ..ops.pair_spmm import BWD_GROUP, GROUP
 
+            gf, gb = pair_groups if pair_groups is not None else (GROUP,
+                                                                  BWD_GROUP)
             pair_kwargs = {
                 "pair_overflow": int(self._params.get("pair_overflow_budget",
                                                       64)),
+                "pair_group_fwd": gf,
+                "pair_group_bwd": gb,
             }
             if pair_per_type:
                 pair_kwargs["pair_chunks_typed"] = tuple(
-                    (_round_up(int(f * slack), GROUP),
-                     _round_up(int(b * slack), BWD_GROUP))
+                    (_round_up(int(f * slack), gf),
+                     _round_up(int(b * slack), gb))
                     for f, b in max_pair_typed
                 )
             else:
                 pair_kwargs["pair_chunks_fwd"] = _round_up(
-                    int(max_pair_fwd * slack), GROUP)
+                    int(max_pair_fwd * slack), gf)
                 pair_kwargs["pair_chunks_bwd"] = _round_up(
-                    int(max_pair_bwd * slack), BWD_GROUP)
+                    int(max_pair_bwd * slack), gb)
         return PaddingConfig(
             num_nodes=node_budget,
             num_graphs=graph_budget,
@@ -404,6 +424,8 @@ class GraphDataset(ABC):
                         chunk_budget_bwd=config.pair_chunks_typed[t][1],
                         overflow_budget=config.pair_overflow or 0,
                         overflow_size=config.pair_overflow or 0,
+                        group_fwd=config.pair_group_fwd,
+                        group_bwd=config.pair_group_bwd,
                     ).astuple()
                     for t in range(self.num_edge_types)
                 )
@@ -415,6 +437,8 @@ class GraphDataset(ABC):
                     overflow_budget=config.pair_overflow or 0,
                     overflow_size=config.pair_overflow or 0,
                     merge_targets=pair_targets_merged,
+                    group_fwd=config.pair_group_fwd,
+                    group_bwd=config.pair_group_bwd,
                 ).astuple()
 
         from .graph_batch import host_in_degrees

@@ -357,6 +357,8 @@ def build_pair_plans(
     overflow_budget: int = 2048,
     merge_targets: bool = False,
     overflow_size: int = None,
+    group_fwd: int = None,
+    group_bwd: int = None,
 ) -> PairPlans:
     """Build forward+backward pair plans over ALL edge types of a batch.
 
@@ -373,6 +375,8 @@ def build_pair_plans(
     v = num_nodes_padded
     if src_space is None:
         src_space = v
+    group_fwd = GROUP if group_fwd is None else group_fwd
+    group_bwd = BWD_GROUP if group_bwd is None else group_bwd
     num_types = len(sources_per_type)
     rows = num_types * src_space
     out_rows = num_types * v if merge_targets else v
@@ -387,10 +391,11 @@ def build_pair_plans(
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
 
     fwd, ovf_f, slot_f = _plan_one_direction(all_src, all_tgt,
-                                             chunk_budget_fwd)
+                                             chunk_budget_fwd,
+                                             group=group_fwd)
     bwd, ovf_b, slot_b = _plan_one_direction(all_tgt, all_src,
                                              chunk_budget_bwd,
-                                             group=BWD_GROUP)
+                                             group=group_bwd)
     ovf = ovf_f | ovf_b  # an edge must take the same path in fwd and bwd
     if ovf.any():
         # Re-plan excluding ALL overflow edges so fwd/bwd stay consistent
@@ -398,11 +403,12 @@ def build_pair_plans(
         keep = ~ovf
         fwd, extra_f, sf_k = _plan_one_direction(all_src[keep],
                                                  all_tgt[keep],
-                                                 fwd.rel_src.shape[0])
+                                                 fwd.rel_src.shape[0],
+                                                 group=group_fwd)
         bwd, extra_b, sb_k = _plan_one_direction(all_tgt[keep],
                                                  all_src[keep],
                                                  bwd.rel_src.shape[0],
-                                                 group=BWD_GROUP)
+                                                 group=group_bwd)
         if extra_f.any() or extra_b.any():  # pragma: no cover
             raise AssertionError("pair plan did not converge")
         slot_f = np.full(all_src.shape, -1, np.int64)
@@ -457,6 +463,8 @@ def measure_pair_chunks(
     sources_per_type, targets_per_type, counts_per_type,
     num_nodes_padded: int, src_space: int = None,
     merge_targets: bool = False,
+    group_fwd: int = GROUP,
+    group_bwd: int = BWD_GROUP,
 ) -> Tuple[int, int]:
     """Chunk counts both directions would need for this batch (used by the
     dataset padding-config derivation to size static budgets)."""
@@ -473,13 +481,48 @@ def measure_pair_chunks(
     all_tgt = np.concatenate(tgts) if tgts else np.zeros((0,), np.int64)
     from ..native import pair_plan_count
 
-    f = pair_plan_count(all_src, all_tgt, GROUP, BLK, E_C)
-    b = pair_plan_count(all_tgt, all_src, BWD_GROUP, BLK, E_C)
+    f = pair_plan_count(all_src, all_tgt, group_fwd, BLK, E_C)
+    b = pair_plan_count(all_tgt, all_src, group_bwd, BLK, E_C)
     if f is not None and b is not None:
-        return max(f, GROUP), max(b, BWD_GROUP)
-    fwd, _, _ = _plan_one_direction(all_src, all_tgt, None)
-    bwd, _, _ = _plan_one_direction(all_tgt, all_src, None, group=BWD_GROUP)
+        return max(f, group_fwd), max(b, group_bwd)
+    fwd, _, _ = _plan_one_direction(all_src, all_tgt, None, group=group_fwd)
+    bwd, _, _ = _plan_one_direction(all_tgt, all_src, None, group=group_bwd)
     return fwd.rel_src.shape[0], bwd.rel_src.shape[0]
+
+
+def choose_pair_groups(
+    sources_per_type, targets_per_type, counts_per_type,
+    num_nodes_padded: int, src_space: int = None,
+    merge_targets: bool = False,
+    candidates: Tuple[int, ...] = (8, 16),
+) -> Tuple[int, int]:
+    """Pick (group_fwd, group_bwd) for a workload by measured run statistics.
+
+    Output-block runs pad to a multiple of the group, so the right group
+    size is workload-dependent: long target runs (PPI-shaped batches, mean
+    ~42 chunks/run) amortise per-grid-step overhead best at GROUP 16, while
+    tiny runs (QM9's 18-node molecules: 1-2 chunks/run) inflate 10x under
+    GROUP-16 alignment with NO grid-step saving (steps = runs either way).
+    Cost model: padded_chunks + C * grid_steps with C = 6 chunk-equivalents
+    per step (calibrated so the PPI shape keeps its measured optimum 16/8
+    and QM9-shaped runs drop to 8/8 — a measured 2048 -> 1024 fwd chunks).
+    Candidates are sublane-aligned: the kernels' (group, E_C) rel blocks
+    require group % 8 == 0.
+    """
+    def cost_of(group, swap):
+        f, b = measure_pair_chunks(
+            sources_per_type, targets_per_type, counts_per_type,
+            num_nodes_padded, src_space=src_space,
+            merge_targets=merge_targets,
+            group_fwd=group if not swap else GROUP,
+            group_bwd=group if swap else BWD_GROUP,
+        )
+        chunks = b if swap else f
+        return chunks + 6 * (chunks // group)
+
+    best_f = min(candidates, key=lambda g: cost_of(g, swap=False))
+    best_b = min(candidates, key=lambda g: cost_of(g, swap=True))
+    return best_f, best_b
 
 
 def pair_unit_scales(plan_arrays, num_nodes: int):

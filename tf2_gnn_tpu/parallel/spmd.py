@@ -266,9 +266,8 @@ def partition_graph(
         # plans consume the self-assembled ext tables), and targets stay
         # local. All shards share one (max) chunk/overflow budget so the
         # plan arrays stack on the mesh axis.
-        from ..ops.pair_spmm import BWD_GROUP, GROUP
         from ..ops.pair_spmm import build_pair_plans as _build_pair_plans
-        from ..ops.pair_spmm import measure_pair_chunks
+        from ..ops.pair_spmm import choose_pair_groups, measure_pair_chunks
 
         def shard_edges_args(s_):
             return (
@@ -277,14 +276,22 @@ def partition_graph(
                 [int(num_edges[s_, t]) for t in range(num_types)],
             )
 
+        # Grid-group sizes chosen from shard 0's run statistics (shards of
+        # one partitioning are structurally alike; the plans must share
+        # groups to stack on the mesh axis).
+        gf, gb = choose_pair_groups(
+            *shard_edges_args(0), nodes_per_shard, src_space=ext_nodes,
+            merge_targets=pair_merge_targets,
+        )
         cf = cb = 0
         for s_ in range(num_shards):
             mf, mb = measure_pair_chunks(
                 *shard_edges_args(s_), nodes_per_shard, src_space=ext_nodes,
                 merge_targets=pair_merge_targets,
+                group_fwd=gf, group_bwd=gb,
             )
-            cf = max(cf, _round_up(mf, GROUP))
-            cb = max(cb, _round_up(mb, BWD_GROUP))
+            cf = max(cf, _round_up(mf, gf))
+            cb = max(cb, _round_up(mb, gb))
         per_shard_pair = []
         for s_ in range(num_shards):
             # Budgets are per-shard maxima, so no edge ever spills;
@@ -295,6 +302,7 @@ def partition_graph(
                 chunk_budget_fwd=cf, chunk_budget_bwd=cb,
                 overflow_budget=0, overflow_size=0,
                 merge_targets=pair_merge_targets,
+                group_fwd=gf, group_bwd=gb,
             )
             per_shard_pair.append(plans.astuple())
         pair_plans = tuple(
