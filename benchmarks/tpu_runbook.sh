@@ -41,7 +41,12 @@ tail -8 "$OUT/20_pair_bench.log"
 echo "== attention per-kernel split (max/expd/agg/fwd/grad) =="
 timeout 1800 python benchmarks/attention_probe.py \
     > "$OUT/25_attention_probe.log" 2>&1
-tail -6 "$OUT/25_attention_probe.log"
+tail -7 "$OUT/25_attention_probe.log"
+
+echo "== RGAT learning A/B (pair-attention vs XLA trajectories) =="
+timeout 2400 python benchmarks/convergence.py 8 rgat-ab \
+    > "$OUT/27_rgat_ab.log" 2>&1
+tail -2 "$OUT/27_rgat_ab.log"
 
 echo "== RGAT flavour sweep (XLA vs fused) =="
 timeout 2400 python benchmarks/flavour_sweep.py rgat \
