@@ -23,11 +23,13 @@ if ! grep -q -i "axon\|tpu" "$OUT/00_probe.log"; then
 fi
 
 echo "== device-kernel equivalence (pair SpMM + attention twins) =="
-timeout 1800 python -m pytest \
-    tests/test_pair_spmm.py tests/test_pair_attention.py -q \
+# NOTE: NOT pytest — tests/conftest.py forces the CPU platform, so the
+# TPU-gated equivalence tests always skip under pytest; this driver runs
+# the same test functions against the real chip.
+timeout 1800 python benchmarks/device_equiv.py \
     > "$OUT/10_kernel_equiv.log" 2>&1
 EQUIV_RC=$?
-tail -2 "$OUT/10_kernel_equiv.log"
+tail -3 "$OUT/10_kernel_equiv.log"
 if [ "$EQUIV_RC" -ne 0 ]; then
     echo "Kernel equivalence FAILED (rc=$EQUIV_RC) — benchmark numbers" \
          "would be meaningless; aborting." | tee -a "$OUT/10_kernel_equiv.log"

@@ -270,14 +270,31 @@ def test_pair_chunk_budget_formula():
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas kernel runs on TPU only")
 def test_pair_kernel_matches_fallback_on_tpu():
+    """Device vs jnp fallback at the SHIPPED stream dtype (bf16): bf16
+    products are exactly representable in f32, so both sides accumulate the
+    same values and only the summation order differs — a tight bound. With
+    f32 tables the device's default single-pass MXU truncates inputs to
+    bf16 (the documented precision policy, matching XLA's own f32 matmul
+    default) while the fallback computes full f32, so f32 device-vs-twin
+    is NOT bit-comparable and carries ~1% relative spread; sanity-bounded
+    loosely below."""
     rng = np.random.RandomState(0)
     v, num_types, h = 512, 3, 320
     srcs, tgts, counts = _random_edges(rng, num_types, v)
     plans = ps.build_pair_plans(srcs, tgts, counts, v)
-    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    tables_f32 = rng.randn(num_types * v, h).astype(np.float32)
     p = plans.fwd
     scale = jnp.ones((p.rel_src.size,), jnp.float32)
+
+    tables = jnp.asarray(tables_f32).astype(jnp.bfloat16)
     dev = ps.pair_spmm(tables, scale, *p, v, interpret=False)
     ref = ps.pair_spmm(tables, scale, *p, v, interpret=True)
     np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
-                               rtol=5e-3, atol=5e-3)
+                               rtol=1e-4, atol=1e-4)
+
+    dev32 = ps.pair_spmm(jnp.asarray(tables_f32), scale, *p, v,
+                         interpret=False)
+    ref32 = ps.pair_spmm(jnp.asarray(tables_f32), scale, *p, v,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(dev32), np.asarray(ref32),
+                               rtol=5e-2, atol=3e-1)
