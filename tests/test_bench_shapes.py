@@ -48,6 +48,60 @@ def test_rgat_bench_shape_rides_pair_attention(ppi_pair_batch):
     )
 
 
+def test_spmd_shards_of_bench_workload_ride_pair_path():
+    """Round 2's top gap was multi-chip silently riding the slow kernel;
+    pin the opposite at PRODUCTION scale: each shard of the bench workload
+    (8-way node partition, per-shard pair plans over the ext halo row
+    space) must pass the same fast-path gates as single-chip. A random
+    graph maximises the halo, so the per-shard ext row space here is the
+    worst case the partitioner can produce for this workload."""
+    import jax
+    import numpy as np
+
+    from tf2_gnn_tpu.parallel.spmd import partition_graph
+
+    rng = np.random.RandomState(0)
+    v = bench.GRAPHS_PER_BATCH * bench.NODES_PER_GRAPH
+    adjacency = []
+    for kind in ("loops", "fwd", "bkwd"):
+        if kind == "loops":
+            nodes = np.arange(v, dtype=np.int32)
+            adjacency.append(np.stack([nodes, nodes], axis=1))
+            continue
+        chunks = []
+        for g in range(bench.GRAPHS_PER_BATCH):
+            base = g * bench.NODES_PER_GRAPH
+            src = rng.randint(0, bench.NODES_PER_GRAPH,
+                              bench.FWD_EDGES_PER_GRAPH) + base
+            tgt = rng.randint(0, bench.NODES_PER_GRAPH,
+                              bench.FWD_EDGES_PER_GRAPH) + base
+            pair = (src, tgt) if kind == "fwd" else (tgt, src)
+            chunks.append(np.stack(pair, axis=1))
+        adjacency.append(np.concatenate(chunks).astype(np.int32))
+    node_to_graph = np.repeat(
+        np.arange(bench.GRAPHS_PER_BATCH, dtype=np.int32),
+        bench.NODES_PER_GRAPH)
+
+    sharded, _ = partition_graph(
+        rng.randn(v, bench.FEATURE_DIM).astype(np.float32), adjacency,
+        node_to_graph, bench.GRAPHS_PER_BATCH, num_shards=8,
+        build_pair_plans=True,
+    )
+    assert sharded.pair_plans is not None and sharded.halo_mode
+    shard0 = jax.tree.map(lambda x: x[0], sharded)
+    rows = shard0.num_edge_types * shard0.pair_src_space
+    assert RGCN(hidden_dim=320, edge_dtype="bfloat16") \
+        ._pair_path_applicable_static(shard0, rows, jnp.bfloat16), (
+        "an 8-way shard of the bench workload fell off the block-pair "
+        "kernel path — SPMD would silently run the sorted-scatter fallback"
+    )
+    assert RGAT(hidden_dim=320, num_heads=4, edge_dtype="bfloat16") \
+        ._pair_attention_applicable_static(shard0), (
+        "an 8-way shard of the bench workload fell off the flash "
+        "pair-attention path under SPMD"
+    )
+
+
 def test_qm9_bench_shape_rides_per_type_pair_path():
     batch, _, mols = bench.build_qm9_batch(0)
     assert mols == 909
