@@ -23,6 +23,7 @@ def main():
     import numpy as np
 
     import test_pair_attention as tpa
+    import test_pair_edge_mlp as tpe
     import test_pair_spmm as tps
 
     for name, fn in (
@@ -30,6 +31,8 @@ def main():
          tpa.test_pair_attention_kernels_match_twins_on_tpu),
         ("pair_spmm device twin",
          tps.test_pair_kernel_matches_fallback_on_tpu),
+        ("pair_edge_mlp device twins (fwd/dB/dA)",
+         tpe.test_pair_edge_mlp_kernels_match_twins_on_tpu),
         ("pair_attention ext src_space on device", _ext_src_space_check),
     ):
         np.random.seed(0)

@@ -286,6 +286,60 @@ class GNN_Edge_MLP(MessagePassing):
             coeff = deg
         return agg + coeff[..., None] * tgt_half.astype(jnp.float32)
 
+    def _pair_target_state_one_hidden(self, node_states, batch: GraphBatch):
+        """Dedicated pair kernel for the target-state edge MLP with ONE
+        hidden layer — the reference's DEFAULT GNN_Edge_MLP configuration
+        (gnn_edge_mlp.py:48-52). Same commuted-W2 factorisation as
+        ``_fused_target_state_one_hidden`` but edge space never touches HBM:
+        ``ops/pair_edge_mlp.py`` recomputes ``z = A[src] + B[tgt]`` inside
+        the block-pair kernels (relu mask in-register on both passes of the
+        backward), so the per-edge z gathers and the L type-masked scatters
+        of the scatter-plan form disappear. Requires MERGED-TARGET pair
+        plans (B's row space must be the kernel's output row space) and a
+        dual-residency VMEM budget for the dA pass; returns None otherwise.
+        """
+        if batch.pair_plans is None or not batch.pair_targets_merged:
+            return None
+        from ...ops.pair_edge_mlp import (
+            pair_edge_mlp_applicable,
+            pair_relu_mlp_aggregate,
+        )
+        from ...ops.pair_spmm import pair_unit_scales
+
+        num_types = batch.num_edge_types
+        v = batch.num_nodes_padded
+        stream_dtype = jnp.dtype(
+            self.edge_dtype if self.edge_dtype != "float32" else jnp.float32
+        )
+        rows_a = num_types * batch.pair_src_space
+        out_rows = num_types * v
+        if not pair_edge_mlp_applicable(rows_a, out_rows, stream_dtype):
+            return None
+
+        plans = batch.pair_plans
+        if self.normalize_by_num_incoming:
+            sf, sb, so = plans[10], plans[11], plans[12]
+        else:
+            sf, sb, so = pair_unit_scales(plans, out_rows)
+        in_dim = node_states.shape[-1]
+        # Source half spans the (possibly ext/halo) source row space the
+        # plans address; the target half only needs the local rows.
+        src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_src_0")(node_states)
+        tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
+                               name="edge_mlp_tgt_0")(node_states[:v])
+        a = src_half.reshape(num_types * src_half.shape[1], -1)
+        bt = tgt_half.reshape(out_rows, -1)  # merged-target layout l*V + v
+        if self.edge_dtype != "float32":
+            a = a.astype(self.edge_dtype)
+            bt = bt.astype(self.edge_dtype)
+        typed_sums = pair_relu_mlp_aggregate(
+            a, bt, sf, sb, so, *plans[:10], out_rows
+        )  # [L*V, H] f32
+        w2 = TypedLinear(num_types, self.hidden_dim, self.hidden_dim,
+                         name="edge_mlp_layer_1")
+        return w2(typed_sums.reshape(num_types, v, -1)).sum(axis=0)
+
     def _fused_target_state_one_hidden(self, node_states, batch: GraphBatch):
         """Fused target-state edge MLP with ONE hidden layer (the flavour
         default, reference gnn_edge_mlp.py:74-97): the first layer
@@ -468,8 +522,13 @@ class GNN_Edge_MLP(MessagePassing):
 
         # Target-state input with ONE hidden layer (the flavour default):
         # the last linear commutes with sum aggregation, so the per-edge
-        # matmuls disappear (see _fused_target_state_one_hidden).
+        # matmuls disappear. Preferred: the dedicated pair kernel (z
+        # recomputed in-register, no per-edge HBM traffic at all); fallback:
+        # the scatter-plan form (_fused_target_state_one_hidden).
         if self.num_edge_MLP_hidden_layers == 1:
+            out = self._pair_target_state_one_hidden(node_states, batch)
+            if out is not None:
+                return out
             return self._fused_target_state_one_hidden(node_states, batch)
         # Deeper target-state MLPs keep per-edge matmuls (an MLP of a concat
         # neither factorises nor commutes past its inner relus) — XLA path.
