@@ -84,20 +84,15 @@ def shuffled_clustered_graph(rng, scale=1):
 
 
 def model_one(kind, v, adjacency, s, compute_s, args, reorder=False):
-    from tf2_gnn_tpu.parallel.reorder import (
-        apply_node_permutation,
-        locality_reorder,
-    )
     from tf2_gnn_tpu.parallel.spmd import partition_graph
 
     nf = np.zeros((v, 8), np.float32)
     n2g = np.zeros((v,), np.int32)
-    if reorder:
-        perm = locality_reorder(adjacency, v)
-        nf, adjacency, n2g, _ = apply_node_permutation(
-            perm, nf, adjacency, n2g)
+    # The integrated reorder path: partition_graph applies the RCM pass
+    # itself (True forces it; False pins the given labelling so the
+    # no-reorder rows stay comparable).
     batch, _ = partition_graph(
-        nf, adjacency, n2g, num_graphs=1, num_shards=s)
+        nf, adjacency, n2g, num_graphs=1, num_shards=s, reorder=reorder)
     if batch.halo_ring_send is not None:
         form = "ring"
         rows_moved = sum(idx.shape[1] for idx in batch.halo_ring_send)

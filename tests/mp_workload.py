@@ -58,7 +58,8 @@ def build_dp_batches():
 
 
 def build_spmd_partition(halo="auto", build_pair_plans=False, seed=7,
-                         num_shards=NUM_DEVICES):
+                         num_shards=NUM_DEVICES, expect_reorder=False,
+                         shuffle=True, reorder="auto"):
     """One giant localized graph partitioned over ``num_shards`` shards."""
     from tf2_gnn_tpu.parallel import partition_graph
 
@@ -66,16 +67,31 @@ def build_spmd_partition(halo="auto", build_pair_plans=False, seed=7,
     num_nodes = 128
     tgt = rng.randint(0, num_nodes, 500)
     src = np.clip(tgt + rng.randint(-6, 7, 500), 0, num_nodes - 1)
-    adj = [np.stack([src[:250], tgt[:250]], axis=1).astype(np.int32),
-           np.stack([src[250:], tgt[250:]], axis=1).astype(np.int32)]
+    # SHUFFLED ids over latent-local connectivity: partition_graph's default
+    # auto-RCM pass deterministically engages, so the multi-process suite
+    # exercises the reordered labelling across a real process boundary
+    # (losses are label-consistent, hence process-invariant).
+    shuf = (rng.permutation(num_nodes).astype(np.int32) if shuffle
+            else np.arange(num_nodes, dtype=np.int32))
+    adj = [np.stack([shuf[src[:250]], shuf[tgt[:250]]], axis=1),
+           np.stack([shuf[src[250:]], shuf[tgt[250:]]], axis=1)]
     n2g = np.sort(rng.randint(0, 3, num_nodes)).astype(np.int32)
     labels = (rng.rand(num_nodes, 121) > 0.9).astype(np.float32)
-    return partition_graph(
+    batch, batch_labels = partition_graph(
         rng.randn(num_nodes, 6).astype(np.float32), adj, n2g, 3, num_shards,
         axis_name=SPMD_AXIS, num_graphs_padded=4,
         node_labels={"node_labels": labels},
-        halo=halo, build_pair_plans=build_pair_plans,
+        halo=halo, build_pair_plans=build_pair_plans, reorder=reorder,
     )
+    if expect_reorder:
+        # Only asserted where nodes_per_shard < num_nodes: the pair-plan
+        # form aligns shards to BLOCK_NODES (128), which collapses this
+        # 128-node workload to one populated shard (zero boundary — auto
+        # correctly declines to relabel).
+        assert batch.node_restore is not None, (
+            "auto-reorder should engage on the shuffled latent-local "
+            "workload")
+    return batch, batch_labels
 
 
 def run_steps(mesh_dp, mesh_spmd, lift, mesh_hybrid=None, lift2d=None):
@@ -115,7 +131,7 @@ def run_steps(mesh_dp, mesh_spmd, lift, mesh_hybrid=None, lift2d=None):
     for name, halo, pairs in (("spmd_loss", "dense", False),
                               ("spmd_ring_pair_loss", "ring", True)):
         sharded, sharded_labels = build_spmd_partition(
-            halo=halo, build_pair_plans=pairs)
+            halo=halo, build_pair_plans=pairs, expect_reorder=not pairs)
         assert (sharded.halo_ring_send is not None) == (halo == "ring")
         assert (sharded.pair_plans is not None) == pairs
         state2 = create_train_state(model, one, optimizer, seed=0)
@@ -130,7 +146,12 @@ def run_steps(mesh_dp, mesh_spmd, lift, mesh_hybrid=None, lift2d=None):
             stack_partitioned_batches,
         )
 
-        replicas = [build_spmd_partition(seed=40 + r, num_shards=4)
+        # Hybrid replicas must share their STATIC batch structure (ext
+        # slab sizes) to stack on the replica axis; the shuffled+reordered
+        # labelling makes those seed-dependent, so this leg pins the
+        # identity labelling (reorder rides the SPMD legs above).
+        replicas = [build_spmd_partition(seed=40 + r, num_shards=4,
+                                         shuffle=False, reorder=False)
                     for r in range(2)]
         batch2d, labels2d = stack_partitioned_batches(
             [b for b, _ in replicas], [l for _, l in replicas])

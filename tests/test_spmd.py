@@ -21,6 +21,7 @@ from tf2_gnn_tpu.parallel import (
     make_spmd_forward,
     make_spmd_train_step,
     partition_graph,
+    restore_node_order,
 )
 
 NUM_SHARDS = 8
@@ -89,7 +90,7 @@ def test_spmd_forward_matches_single_device(flavour, halo_form):
     assert (sharded.halo_ring_send is not None) == (halo_form == "ring")
     fwd = make_spmd_forward(model, mesh)
     (spmd_logits,) = fwd(variables["params"], sharded)
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
 
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]],
@@ -110,14 +111,18 @@ def test_halo_form_heuristic_prefers_ring_for_local_graphs():
     local_adj = [np.stack([local_src, local_tgt], 1).astype(np.int32)]
     nf = rng.randn(v, 6).astype(np.float32)
     n2g = np.zeros((v,), np.int32)
-    ring, _ = partition_graph(nf, local_adj, n2g, 1, NUM_SHARDS)
+    # reorder=False: this test pins the WIRE-FORM heuristic to the given
+    # labelling; the auto-RCM pass would relabel the scattered case.
+    ring, _ = partition_graph(nf, local_adj, n2g, 1, NUM_SHARDS,
+                              reorder=False)
     assert ring.halo_ring_send is not None
     # Only nearest-neighbour ring distances are active (ids within +-3).
     assert set(ring.halo_ring_dists) <= {1, NUM_SHARDS - 1}
 
     rand_adj = [np.stack([rng.randint(0, v, 400),
                           rng.randint(0, v, 400)], 1).astype(np.int32)]
-    dense, _ = partition_graph(nf, rand_adj, n2g, 1, NUM_SHARDS)
+    dense, _ = partition_graph(nf, rand_adj, n2g, 1, NUM_SHARDS,
+                               reorder=False)
     assert dense.halo_send_idx is not None and dense.halo_ring_send is None
 
 
@@ -138,7 +143,7 @@ def test_spmd_forward_with_global_exchange_and_layernorm():
     sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
                                  num_graphs_padded=4)
     (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"], sharded)
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
         rtol=2e-4, atol=2e-5,
@@ -315,7 +320,7 @@ def test_spmd_fused_pallas_matches_single_device(flavour):
                                  build_scatter_plans=True)
     assert sharded.scatter_plans is not None
     (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"], sharded)
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
         rtol=2e-4, atol=2e-4,
@@ -415,7 +420,7 @@ def _run_spmd_pair_case(flavour, merge, halo_form, extra):
         (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
                                                         sharded)
     assert calls, f"{flavour}: pair kernel never ran under SPMD"
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
         rtol=2e-4, atol=2e-4,
@@ -480,7 +485,7 @@ def test_spmd_legacy_allgather_matches_single_device(flavour):
     assert sharded.halo_send_idx is None
     (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
                                                     sharded)
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
         rtol=2e-4, atol=2e-5,
@@ -504,7 +509,8 @@ def test_halo_plan_structure_and_bytes():
     n2g = np.sort(rng.randint(0, 3, num_nodes)).astype(np.int32)
     g = 3
     sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
-                                 num_graphs_padded=4, halo="dense")
+                                 num_graphs_padded=4, halo="dense",
+                                 reorder=False)
     assert sharded.halo_send_idx is not None
     s_mesh, s_dest, max_send = sharded.halo_send_idx.shape
     assert s_mesh == s_dest == NUM_SHARDS
@@ -523,7 +529,7 @@ def test_halo_plan_structure_and_bytes():
     # its per-DISTANCE padding moves strictly fewer rows than the dense
     # per-pair padding.
     ring, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
-                              num_graphs_padded=4)
+                              num_graphs_padded=4, reorder=False)
     assert ring.halo_ring_send is not None
     ring_rows = sum(idx.shape[1] for idx in ring.halo_ring_send)
     assert ring_rows < NUM_SHARDS * max_send
@@ -555,6 +561,45 @@ def test_zero_boundary_partition_emits_no_halo_collective():
     mesh = make_mesh(axis_name="nodes")
     (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
                                                     sharded)
-    spmd_flat = np.asarray(spmd_logits).reshape(-1, spmd_logits.shape[-1])
+    spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(np.asarray(ref_logits)[:v], spmd_flat[:v],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pair_group_choice_uses_busiest_shard():
+    """Skewed partition (VERDICT r3 item 7): grid-group sizes must come from
+    the MOST EXPENSIVE shard's run statistics, not shard 0's — a sparse
+    shard 0 choosing groups for a dense shard could inflate every other
+    shard's stacked plans. Shard 0 here is near-empty (self-loops only);
+    the last shard carries a dense PPI-like block."""
+    from unittest import mock
+
+    import tf2_gnn_tpu.ops.pair_spmm as ps
+
+    rng = np.random.RandomState(4)
+    v = 256
+    per_shard = v // NUM_SHARDS
+    lo = np.arange(per_shard)  # shard 0's nodes: sparse
+    hi = rng.randint(v - per_shard, v, 4000)  # last shard's targets: dense
+    adj = [np.concatenate([
+        np.stack([lo, lo], 1),
+        np.stack([rng.randint(0, v, 4000), hi], 1),
+    ]).astype(np.int32)]
+    nf = rng.randn(v, 6).astype(np.float32)
+    n2g = np.zeros((v,), np.int32)
+
+    seen = []
+    orig = ps.choose_pair_groups
+
+    def recording(sources, targets, counts, *args, **kwargs):
+        seen.append(sum(int(c) for c in counts))
+        return orig(sources, targets, counts, *args, **kwargs)
+
+    with mock.patch.object(ps, "choose_pair_groups", recording):
+        sharded, _ = partition_graph(nf, adj, n2g, 1, NUM_SHARDS,
+                                     num_graphs_padded=2,
+                                     build_pair_plans=True)
+    assert sharded.pair_plans is not None
+    # The shard whose edges were measured is the busiest one (the dense
+    # block lands ~4000 + a few self-loop edges on the last shard).
+    assert len(seen) == 1 and seen[0] >= 4000

@@ -133,6 +133,11 @@ class GraphBatch:
     halo_ring_send: Optional[Tuple[jnp.ndarray, ...]] = None
     halo_ring_dists: Optional[Tuple[int, ...]] = struct.field(
         pytree_node=False, default=None)
+    # Set when the partitioner applied a locality reordering
+    # (parallel/reorder.py RCM): int32 [S, rows] = ORIGINAL node id living at
+    # each (shard, local row), -1 on padding. Per-node outputs return to the
+    # caller's order via parallel.restore_node_order(out, batch).
+    node_restore: Optional[jnp.ndarray] = None
 
     @property
     def halo_mode(self) -> bool:

@@ -32,11 +32,17 @@ from .hybrid import (
     make_hybrid_train_step,
     stack_partitioned_batches,
 )
+from .reorder import (
+    apply_node_permutation,
+    invert_permutation,
+    locality_reorder,
+)
 from .spmd import (
     make_spmd_eval_step,
     make_spmd_forward,
     make_spmd_train_step,
     partition_graph,
+    restore_node_order,
 )
 
 __all__ = [
@@ -53,6 +59,10 @@ __all__ = [
     "make_spmd_forward",
     "make_spmd_train_step",
     "partition_graph",
+    "restore_node_order",
+    "apply_node_permutation",
+    "invert_permutation",
+    "locality_reorder",
     "shard_batches",
     "stack_partitioned_batches",
     "stack_batches",

@@ -48,6 +48,7 @@ def partition_graph(
     build_pair_plans: bool = False,
     pair_merge_targets: bool = False,
     halo="auto",
+    reorder="auto",
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Host-side partitioner: giant graph -> stacked per-shard GraphBatch.
 
@@ -68,6 +69,16 @@ def partition_graph(
     the win for locality-sorted graphs, where only neighbouring shards
     exchange. ``halo=False`` keeps GLOBAL source ids + the legacy
     per-layer all_gather.
+
+    ``reorder`` applies the RCM locality pass (parallel/reorder.py) BEFORE
+    cutting contiguous ranges: ``"auto"`` (default) relabels only when it
+    strictly shrinks the boundary row count (graphs that arrive hash- or
+    insertion-ordered but have latent community structure); ``True`` forces
+    it; ``False`` disables it. When applied, node features / labels /
+    node_to_graph are permuted consistently (losses and graph-level metrics
+    are unaffected) and the returned batch carries ``node_restore`` — feed
+    per-node OUTPUTS through ``restore_node_order(out, batch)`` to get them
+    back in the caller's original node order.
     """
     num_nodes = node_features.shape[0]
     if build_pair_plans and not halo:
@@ -86,6 +97,34 @@ def partition_graph(
     )
     if num_graphs_padded is None:
         num_graphs_padded = num_graphs + 1
+
+    node_restore = None
+    if reorder and num_shards > 1:
+        from .reorder import apply_node_permutation, locality_reorder
+
+        perm = locality_reorder(adjacency_lists, num_nodes)
+        if reorder == "auto":
+            inv = np.empty((num_nodes,), np.int64)
+            inv[perm] = np.arange(num_nodes)
+            apply_it = (
+                _boundary_row_count(adjacency_lists, nodes_per_shard, inv)
+                < _boundary_row_count(adjacency_lists, nodes_per_shard, None)
+            )
+        else:
+            apply_it = True
+        if apply_it:
+            (node_features, adjacency_lists, node_to_graph,
+             node_labels) = apply_node_permutation(
+                perm, node_features, adjacency_lists, node_to_graph,
+                node_labels)
+            # Original node id living at each (shard, local row); -1 pads.
+            node_restore = np.full((num_shards, nodes_per_shard), -1,
+                                   np.int32)
+            for s in range(num_shards):
+                lo = s * nodes_per_shard
+                real = int(np.clip(num_nodes - lo, 0, nodes_per_shard))
+                if real:
+                    node_restore[s, :real] = perm[lo:lo + real]
 
     # Per-shard real node counts (contiguous ranges; real nodes are a prefix
     # of the global layout so each shard's real nodes are a prefix too).
@@ -276,11 +315,14 @@ def partition_graph(
                 [int(num_edges[s_, t]) for t in range(num_types)],
             )
 
-        # Grid-group sizes chosen from shard 0's run statistics (shards of
-        # one partitioning are structurally alike; the plans must share
-        # groups to stack on the mesh axis).
+        # Grid-group sizes chosen from the BUSIEST shard's run statistics
+        # (the plans must share groups to stack on the mesh axis, and the
+        # most expensive shard gates the SPMD step time — a skewed
+        # partition must not let a sparse shard 0 pick groups that inflate
+        # the dense shard's plans).
+        busiest = int(np.argmax(num_edges.sum(axis=1)))
         gf, gb = choose_pair_groups(
-            *shard_edges_args(0), nodes_per_shard, src_space=ext_nodes,
+            *shard_edges_args(busiest), nodes_per_shard, src_space=ext_nodes,
             merge_targets=pair_merge_targets,
         )
         cf = cb = 0
@@ -337,6 +379,7 @@ def partition_graph(
         halo_ext_nodes=ext_nodes,
         halo_ring_send=halo_ring_send,
         halo_ring_dists=halo_ring_dists,
+        node_restore=node_restore,
     )
 
     labels: Dict[str, np.ndarray] = {}
@@ -355,6 +398,56 @@ def partition_graph(
             padded, (num_shards,) + padded.shape
         ).copy()
     return batch, labels
+
+
+def _boundary_row_count(adjacency_lists, nodes_per_shard: int,
+                        relabel: Optional[np.ndarray]) -> int:
+    """Unique (consumer shard, source node) pairs whose edge crosses a
+    contiguous-range partition — exactly the rows a halo exchange must move
+    per MP layer. ``relabel`` (inverse permutation) evaluates a candidate
+    ordering without building anything."""
+    parts = [np.asarray(a, np.int64).reshape(-1, 2)
+             for a in adjacency_lists if np.asarray(a).size]
+    if not parts:
+        return 0
+    edges = np.concatenate(parts, axis=0)
+    if relabel is not None:
+        edges = relabel[edges]
+    own_src = edges[:, 0] // nodes_per_shard
+    own_tgt = edges[:, 1] // nodes_per_shard
+    cross = own_src != own_tgt
+    if not cross.any():
+        return 0
+    span = int(edges[:, 0].max()) + 1
+    return np.unique(own_tgt[cross] * span + edges[cross, 0]).size
+
+
+def restore_node_order(outputs, batch: GraphBatch) -> np.ndarray:
+    """Per-node outputs of a partitioned run, in the caller's ORIGINAL node
+    order (host-side; [num_real_nodes, ...]).
+
+    ``outputs`` is the stacked per-shard array ([S, rows, ...]) a
+    shard_mapped forward returns, or its flattened form. When the batch was
+    built with ``reorder`` applied, ``batch.node_restore`` maps each (shard,
+    row) back to the original id; otherwise real rows are per-shard prefixes
+    of the identity layout.
+    """
+    out = np.asarray(outputs)
+    num_shards = batch.spmd_num_shards or 1
+    if out.ndim >= 2 and out.shape[0] == num_shards:
+        out = out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
+    if batch.node_restore is None:
+        reals = np.atleast_1d(np.asarray(batch.num_nodes))
+        rows = out.shape[0] // num_shards
+        return np.concatenate([
+            out[s * rows:s * rows + int(reals[s])]
+            for s in range(num_shards)
+        ])
+    ids = np.asarray(batch.node_restore).reshape(-1)
+    valid = ids >= 0
+    restored = np.empty((int(ids.max()) + 1,) + out.shape[1:], out.dtype)
+    restored[ids[valid]] = out[:ids.shape[0]][valid]
+    return restored
 
 
 def make_spmd_train_step(model, optimizer, mesh: Mesh, axis_name: str = "nodes"):
