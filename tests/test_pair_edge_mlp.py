@@ -238,6 +238,15 @@ def test_pair_edge_mlp_kernels_match_twins_on_tpu():
     np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
                                rtol=1e-2, atol=1e-2)
 
+    # Fused training forward: R matches the plain forward's tolerance, the
+    # mask aggregate M is exact with unit scales.
+    dev_r, dev_m = pem._relu_pair_fwd_m_device(a, b, *fwd_args)
+    ref_r, ref_m = pem._relu_pair_fwd_m_jnp(a, b, *fwd_args)
+    np.testing.assert_allclose(np.asarray(dev_r), np.asarray(ref_r),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dev_m), np.asarray(ref_m),
+                               rtol=1e-4, atol=1e-4)
+
     dev_db = pem._relu_pair_db_device(a, b, g, *fwd_args)
     ref_db = pem._relu_pair_db_jnp(a, b, g, *fwd_args)
     np.testing.assert_allclose(np.asarray(dev_db), np.asarray(ref_db),

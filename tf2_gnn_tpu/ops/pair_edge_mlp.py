@@ -29,15 +29,16 @@ round 3). Here edge space never touches HBM at all:
       Bg   = onehot(rel_tgt)  @ B_slab             # gather targets
       out += onehot(rel_tgt)^T @ (relu(Ag+Bg) * s)  # scatter
 
-* BACKWARD needs the relu mask in BOTH plan orders, so it recomputes z
-  in-register twice (design option (a), PERFORMANCE.md round 3):
-  - dB pass (forward plan order, A resident): per chunk recompute the mask,
-    scatter ``M = sum_e s_e * mask_e`` and multiply by the streamed g slab
-    in place — ``dB[t] = M[t] * g[t]``.
-  - dA pass (backward plan order): B AND g resident (two stream-dtype
-    feature tiles — 2 x 6.2 MB bf16 at the PPI shape), A streamed per grid
-    step through the output block index; per chunk four MXU passes (gather
-    g, gather B, gather A, scatter ``s * mask * g[tgt]``).
+* BACKWARD: ``dB[t] = M[t] * g[t]`` with ``M = sum_e s_e * mask_e`` — and
+  M is emitted BY the training forward (``_relu_pair_fwd_m_device``: one
+  extra scatter dot per chunk alongside R, same sweep), so no fwd-order
+  kernel runs in the backward at all. The one backward kernel is the dA
+  pass (backward plan order): B AND g resident (two stream-dtype feature
+  tiles — 2 x 6.2 MB bf16 at the PPI shape), A streamed per grid step
+  through the output block index; per chunk four MXU passes (gather g,
+  gather B, gather A for the in-register mask recompute, scatter
+  ``s * mask * g[tgt]``). The eval/primal forward keeps the plain 3-dot
+  sweep without M.
 
 Callers gate on ``pair_edge_mlp_applicable`` (single-table residency for
 the forward + dual residency for the dA pass) and fall back to the
@@ -182,6 +183,126 @@ def _relu_pair_fwd_device(a, b, scale, rel_src, rel_tgt, src_blk, grp_tgt,
     )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
       jnp.asarray(rel_tgt), scale.reshape(num_chunks, E_C), a, b, zeros)
     return out[:, :orig_h]
+
+
+def _relu_pair_fwd_m_device(a, b, scale, rel_src, rel_tgt, src_blk, grp_tgt,
+                            out_rows: int):
+    """Fused training forward: R[t] (as ``_relu_pair_fwd_device``) AND the
+    mask aggregate ``M[t] = sum over fwd-plan slots with target t of
+    scale * (a[src] + b[t] > 0)`` in ONE sweep — the dB cotangent is then
+    just ``M * g`` (XLA elementwise), so the backward's separate fwd-order
+    kernel (which would recompute z via two more gather dots per chunk)
+    disappears. One extra scatter dot per chunk over the plain forward."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = a.shape[-1]
+    a = _pad_cols(a, TILE)
+    b = _pad_cols(b, TILE)
+    rows_a, h = a.shape
+    num_chunks = rel_src.shape[0]
+    group = plan_group(src_blk, grp_tgt)
+    num_groups = num_chunks // group
+    h_tiles = h // TILE
+    stream_dtype = a.dtype
+
+    def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scale_ref,
+               a_hbm, b_ref, zeros_r_ref, zeros_m_ref, out_ref, m_ref,
+               a_vmem, copy_sem):
+        del zeros_r_ref, zeros_m_ref
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                a_hbm.at[:, pl.ds(t * TILE, TILE)], a_vmem, copy_sem
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        b_slab = b_ref[:]
+        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        contrib_m = jnp.zeros((BLK, TILE), jnp.float32)
+        for k in range(group):
+            rel_s = rel_s_ref[k, :]
+            rel_t = rel_t_ref[k, :]
+            sc = scale_ref[k, :]
+            oh_gs = (cols_i == rel_s[:, None]).astype(stream_dtype)
+            blk = src_blk_ref[g * group + k]
+            ag = jnp.dot(oh_gs, a_vmem[pl.ds(blk * BLK, BLK), :],
+                         preferred_element_type=jnp.float32)
+            oh_gt = (cols_i == rel_t[:, None]).astype(stream_dtype)
+            bg = jnp.dot(oh_gt, b_slab, preferred_element_type=jnp.float32)
+            z = ag + bg
+            r = jnp.maximum(z, 0.0) * sc[:, None]
+            mask = jnp.where(z > 0.0, sc[:, None], 0.0)
+            oh_st = (rows_i == rel_t[None, :]).astype(stream_dtype)
+            contrib = contrib + jnp.dot(
+                oh_st, r.astype(stream_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            contrib_m = contrib_m + jnp.dot(
+                oh_st, mask.astype(stream_dtype),
+                preferred_element_type=jnp.float32,
+            )
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = contrib
+            m_ref[:, :] = contrib_m
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + contrib
+            m_ref[:, :] = m_ref[:, :] + contrib_m
+
+    out_block = pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # src_blk, grp_tgt
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # A stays in HBM
+            out_block,  # B slab (= out block)
+            out_block,  # zeros -> out alias
+            out_block,  # zeros -> m alias
+        ],
+        out_specs=[out_block, out_block],
+        scratch_shapes=[
+            pltpu.VMEM((rows_a, TILE), stream_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((out_rows, h), jnp.float32)
+    out, m = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((out_rows, h), jnp.float32),
+                   jax.ShapeDtypeStruct((out_rows, h), jnp.float32)],
+        input_output_aliases={7: 0, 8: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * 4 * BLK * E_C * TILE * h_tiles,
+            bytes_accessed=(rows_a + 2 * out_rows) * h
+            * jnp.dtype(stream_dtype).itemsize
+            + num_chunks * E_C * 12 + 2 * out_rows * h * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt), jnp.asarray(rel_src),
+      jnp.asarray(rel_tgt), scale.reshape(num_chunks, E_C), a, b, zeros,
+      zeros)
+    return out[:, :orig_h], m[:, :orig_h]
 
 
 def _relu_pair_db_device(a, b, g, scale, rel_src, rel_tgt, src_blk, grp_tgt,
@@ -431,6 +552,21 @@ def _relu_pair_fwd_jnp(a, b, scale, rel_src, rel_tgt, src_blk, grp_tgt,
     return jax.ops.segment_sum(r, seg, num_segments=out_rows + 1)[:out_rows]
 
 
+def _relu_pair_fwd_m_jnp(a, b, scale, rel_src, rel_tgt, src_blk, grp_tgt,
+                         out_rows: int):
+    srcabs, tgtabs, valid = slot_abs_ids(rel_src, rel_tgt, src_blk, grp_tgt)
+    av = jnp.take(a, srcabs, axis=0, mode="clip").astype(jnp.float32)
+    bv = jnp.take(b, tgtabs, axis=0, mode="clip").astype(jnp.float32)
+    z = av + bv
+    w = (scale.reshape(-1) * valid)[:, None]
+    seg = jnp.where(valid, tgtabs, out_rows)
+    out = jax.ops.segment_sum(jnp.maximum(z, 0.0) * w, seg,
+                              num_segments=out_rows + 1)[:out_rows]
+    m = jax.ops.segment_sum((z > 0.0) * w, seg,
+                            num_segments=out_rows + 1)[:out_rows]
+    return out, m
+
+
 def _relu_pair_db_jnp(a, b, g, scale, rel_src, rel_tgt, src_blk, grp_tgt,
                       out_rows: int):
     srcabs, tgtabs, valid = slot_abs_ids(rel_src, rel_tgt, src_blk, grp_tgt)
@@ -502,27 +638,32 @@ def _prma_fwd(a, b, scale_fwd, scale_bwd, ovf_scale,
               rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
               rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
               ovf_src, ovf_tgt, out_rows):
-    out = pair_relu_mlp_aggregate(
-        a, b, scale_fwd, scale_bwd, ovf_scale,
-        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
-        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
-        ovf_src, ovf_tgt, out_rows,
-    )
-    return out, (a, b, scale_fwd, scale_bwd, ovf_scale,
-                 rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+    # Training forward: the fused (R, M) sweep — M = sum of s * (z > 0) per
+    # output row — makes the backward's dB a plain elementwise M * g, so no
+    # fwd-order kernel runs in the backward at all. The eval/primal path
+    # (pair_relu_mlp_aggregate) keeps the 3-dot forward without M.
+    out, m = _dispatch(_relu_pair_fwd_m_device, _relu_pair_fwd_m_jnp,
+                       a, b, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
+                       grp_tgt_f, out_rows)
+    if ovf_src.shape[0]:
+        av = jnp.take(a, ovf_src, axis=0, mode="clip").astype(jnp.float32)
+        bv = jnp.take(b, jnp.minimum(ovf_tgt, out_rows - 1), axis=0,
+                      mode="clip").astype(jnp.float32)
+        r = jnp.maximum(av + bv, 0.0) * ovf_scale[:, None]
+        out = out + jax.ops.segment_sum(
+            r, ovf_tgt, num_segments=out_rows + 1
+        )[:out_rows]
+    return out, (a, b, m, scale_bwd, ovf_scale,
                  rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
                  ovf_src, ovf_tgt)
 
 
 def _prma_bwd(out_rows, res, g):
-    (a, b, scale_fwd, scale_bwd, ovf_scale,
-     rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f,
+    (a, b, m, scale_bwd, ovf_scale,
      rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
      ovf_src, ovf_tgt) = res
     rows_a = a.shape[0]
-    d_b = _dispatch(_relu_pair_db_device, _relu_pair_db_jnp,
-                    a, b, g, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
-                    grp_tgt_f, out_rows)
+    d_b = m * g.astype(jnp.float32)
     d_a = _dispatch(_relu_pair_da_device, _relu_pair_da_jnp,
                     a, b, g, scale_bwd, rel_src_b, rel_tgt_b, src_blk_b,
                     grp_tgt_b, rows_a)
