@@ -33,6 +33,8 @@ def main():
          tps.test_pair_kernel_matches_fallback_on_tpu),
         ("pair_edge_mlp device twins (fwd/dB/dA)",
          tpe.test_pair_edge_mlp_kernels_match_twins_on_tpu),
+        ("pair_spmm streamed-typed device twin",
+         tps.test_streamed_kernel_matches_twin_on_tpu),
         ("pair_attention ext src_space on device", _ext_src_space_check),
     ):
         np.random.seed(0)

@@ -298,3 +298,114 @@ def test_pair_kernel_matches_fallback_on_tpu():
                          interpret=True)
     np.testing.assert_allclose(np.asarray(dev32), np.asarray(ref32),
                                rtol=5e-2, atol=3e-1)
+
+
+def _per_type_plans(srcs, tgts, counts, v, group_fwd=8, group_bwd=8):
+    return tuple(
+        ps.build_pair_plans([srcs[t]], [tgts[t]], [counts[t]], v,
+                            group_fwd=group_fwd, group_bwd=group_bwd,
+                            overflow_budget=64, overflow_size=64).astuple()
+        for t in range(len(srcs))
+    )
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_streamed_typed_plans_match_per_type_loop(normalize):
+    """The single-launch streamed form (concat_typed_plans +
+    pair_stream_gather_scatter) reproduces the per-type kernel loop it
+    replaces — outputs AND gradients (QM9's 2L launches per layer)."""
+    rng = np.random.RandomState(9)
+    v, num_types, h = 384, 4, 16
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans_typed = _per_type_plans(srcs, tgts, counts, v)
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    cot = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+
+    def loop_form(t):
+        outs = []
+        for ty, plans in enumerate(plans_typed):
+            if normalize:
+                sf, sb, so = (jnp.asarray(plans[10]), jnp.asarray(plans[11]),
+                              jnp.asarray(plans[12]))
+            else:
+                sf, sb, so = ps.pair_unit_scales(plans, v)
+            outs.append(ps.pair_typed_gather_scatter(
+                t[ty * v:(ty + 1) * v], sf, sb, so, *plans[:10], v))
+        return jnp.concatenate(outs, axis=0)
+
+    def stream_form(t):
+        return ps.pair_stream_from_typed(t, plans_typed, v, normalize)
+
+    out_loop = loop_form(tables)
+    out_stream = stream_form(tables)
+    np.testing.assert_allclose(np.asarray(out_stream), np.asarray(out_loop),
+                               rtol=2e-4, atol=2e-4)
+
+    g_loop = jax.grad(lambda t: jnp.vdot(loop_form(t), cot))(tables)
+    g_stream = jax.grad(lambda t: jnp.vdot(stream_form(t), cot))(tables)
+    np.testing.assert_allclose(np.asarray(g_stream), np.asarray(g_loop),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_typed_plans_ext_src_space():
+    """Streamed form with a LARGER per-type source row space than the local
+    target rows (the SPMD-halo ext layout): matches a dense reference."""
+    rng = np.random.RandomState(2)
+    v, vs, num_types, h = 256, 384, 2, 8
+    srcs, tgts, counts = [], [], []
+    for _ in range(num_types):
+        e = 700
+        s = np.full((768,), vs - 1, np.int32)
+        t = np.full((768,), v - 1, np.int32)
+        s[:e] = rng.randint(0, vs, e)
+        t[:e] = rng.randint(0, v, e)
+        srcs.append(s)
+        tgts.append(t)
+        counts.append(e)
+    plans_typed = tuple(
+        ps.build_pair_plans([srcs[t]], [tgts[t]], [counts[t]], v,
+                            src_space=vs, group_fwd=8, group_bwd=8,
+                            overflow_budget=64, overflow_size=64).astuple()
+        for t in range(num_types)
+    )
+    tables = rng.randn(num_types * vs, h).astype(np.float32)
+    out = ps.pair_stream_from_typed(jnp.asarray(tables), plans_typed, v,
+                                    normalize=False)
+    expected = np.zeros((num_types * v, h), np.float64)
+    for ty in range(num_types):
+        c = counts[ty]
+        np.add.at(expected, ty * v + tgts[ty][:c],
+                  tables[ty * vs + srcs[ty][:c]].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel runs on TPU only")
+def test_streamed_kernel_matches_twin_on_tpu():
+    """Device streamed kernel (type-sliced table re-DMA inside one launch)
+    vs the jnp twin at bf16."""
+    rng = np.random.RandomState(0)
+    v, num_types, h = 512, 3, 256
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans_typed = _per_type_plans(srcs, tgts, counts, v)
+    args = ps.concat_typed_plans(plans_typed, v, v, normalize=False)
+    (sf, sb, so, rsf, rtf, sbf, gtf, gyf, rsb, rtb, sbb, gtb, gyb,
+     osrc, otgt) = args
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+    dev = ps._pair_spmm_stream_device(tables, sf, rsf, rtf, sbf, gtf, gyf,
+                                      v, num_types * v)
+    ref = ps._pair_spmm_stream_jnp(tables, sf, rsf, rtf, sbf, gtf, gyf,
+                                   v, num_types * v)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # Backward direction (source-major plans, cotangent-resident form).
+    cot = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    dev_b = ps._pair_spmm_stream_device(cot, sb, rsb, rtb, sbb, gtb, gyb,
+                                        v, num_types * v)
+    ref_b = ps._pair_spmm_stream_jnp(cot, sb, rsb, rtb, sbb, gtb, gyb,
+                                     v, num_types * v)
+    np.testing.assert_allclose(np.asarray(dev_b), np.asarray(ref_b),
+                               rtol=1e-4, atol=1e-4)

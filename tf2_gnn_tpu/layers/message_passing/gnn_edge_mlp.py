@@ -182,20 +182,15 @@ class GNN_Edge_MLP(MessagePassing):
 
         v = batch.num_nodes_padded
         if batch.pair_plans is None:
-            # Row-split form: one single-type launch per edge type (each
-            # resident table is one type's source rows); the stacked result
-            # is the per-type aggregate array [L*V, H].
-            tables_t = tables.reshape(
-                batch.num_edge_types, batch.pair_src_space, -1)
-            outs = []
-            for t, plans in enumerate(batch.pair_plans_typed):
-                if normalize:
-                    sf, sb, so = plans[10], plans[11], plans[12]
-                else:
-                    sf, sb, so = pair_unit_scales(plans, v)
-                outs.append(pair_typed_gather_scatter(
-                    tables_t[t], sf, sb, so, *plans[:10], v))
-            return jnp.concatenate(outs, axis=0)
+            # Row-split form (merged [L*V] tables exceed the VMEM residency
+            # budget): ONE streamed launch per direction over the
+            # concatenated per-type plans — the resident table slice is
+            # re-DMA'd on type change inside the kernel, replacing the 2L
+            # per-type launches whose overhead bound QM9-scale configs.
+            from ...ops.pair_spmm import pair_stream_from_typed
+
+            return pair_stream_from_typed(
+                tables, batch.pair_plans_typed, v, normalize)
         out_rows = (batch.num_edge_types * v if batch.pair_targets_merged
                     else v)
         plans = batch.pair_plans

@@ -768,3 +768,295 @@ def _ptgs_bwd(num_nodes, res, g):
 
 
 pair_typed_gather_scatter.defvjp(_ptgs_fwd, _ptgs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Streamed per-type form: ONE launch over the concatenated per-type plans.
+#
+# The row-split path (QM9-scale graphs: merged [L*V] tables exceed the VMEM
+# residency budget) used to launch the kernel once per edge type — 2L
+# launches per MP layer. At QM9's run statistics (1-2 chunks per output
+# run) grid steps equal runs either way, so those launches bought nothing
+# and their per-launch overhead bound the config (PERFORMANCE.md round 3).
+# Here the per-type plans CONCATENATE into one grid: output blocks are
+# globalized to the stacked [L*V] row space, a per-group type id drives a
+# re-DMA of the resident table slice (one [V, TILE] copy per (type,
+# feature-tile) boundary — the same total bytes the per-type launches paid),
+# and every direction runs in a single kernel launch.
+
+
+def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
+                             grp_tgt_g, grp_type, v: int, out_rows: int):
+    """tables [L*V, H] in HBM; resident slice re-DMA'd on type change.
+    ``grp_tgt_g`` holds GLOBAL output blocks (ty * V/BLK + local block);
+    ``src_blk`` stays LOCAL to the type's table slice."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = tables.shape[-1]
+    tables = _pad_cols(tables, TILE)
+    _, h = tables.shape
+    num_chunks = rel_src.shape[0]
+    group = plan_group(src_blk, grp_tgt_g)
+    num_groups = num_chunks // group
+    h_tiles = h // TILE
+    out_dtype = jnp.float32
+
+    def kernel(src_blk_ref, grp_tgt_ref, grp_type_ref, rel_s_ref, rel_t_ref,
+               scale_ref, tables_hbm, zeros_ref, out_ref, table_vmem,
+               copy_sem):
+        del zeros_ref
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        ty = grp_type_ref[g]
+        prev_ty = grp_type_ref[jnp.maximum(g - 1, 0)]
+
+        @pl.when(jnp.logical_or(g == 0, ty != prev_ty))
+        def _():
+            dma = pltpu.make_async_copy(
+                tables_hbm.at[pl.ds(ty * v, v), pl.ds(t * TILE, TILE)],
+                table_vmem, copy_sem,
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        for k in range(group):
+            rel_t = rel_t_ref[k, :]
+            rel_s = rel_s_ref[k, :]
+            sc = scale_ref[k, :]
+            oh_t = ((rows_i == rel_t[None, :]).astype(jnp.float32)
+                    * sc[None, :]).astype(table_vmem.dtype)
+            oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
+            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
+            blk = src_blk_ref[g * group + k]
+            tb = table_vmem[pl.ds(blk * BLK, BLK), :]
+            contrib = contrib + jnp.dot(
+                a.astype(table_vmem.dtype), tb,
+                preferred_element_type=jnp.float32,
+            )
+
+        prev = grp_tgt_ref[jnp.maximum(g - 1, 0)]
+        first = jnp.logical_or(g == 0, grp_tgt_ref[g] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:, :] = out_ref[:, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # src_blk, grp_tgt_g, grp_type
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tables stay in HBM
+            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb, ty: (tb[g], t),
+                         memory_space=pltpu.VMEM),  # zeros -> out alias
+        ],
+        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb, ty: (tb[g], t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v, TILE), tables.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((out_rows, h), out_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, h), out_dtype),
+        input_output_aliases={7: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (BLK * E_C * BLK + BLK * BLK * TILE)
+            * h_tiles,
+            bytes_accessed=tables.shape[0] * h * tables.dtype.itemsize
+            + num_chunks * E_C * 12 + out_rows * h * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt_g), jnp.asarray(grp_type),
+      jnp.asarray(rel_src), jnp.asarray(rel_tgt),
+      scale.reshape(num_chunks, E_C), tables, zeros)
+    return out[:, :orig_h]
+
+
+def _stream_slot_abs_ids(rel_src, rel_tgt, src_blk, grp_tgt_g, grp_type,
+                         v: int):
+    """Global (src_row, out_row, valid) per slot of the streamed layout:
+    sources globalize through the chunk's TYPE (``ty * V + src_blk * BLK +
+    rel``), outputs through the already-global group block."""
+    rel_s = jnp.asarray(rel_src).reshape(-1)
+    rel_t = jnp.asarray(rel_tgt).reshape(-1)
+    chunk = jnp.arange(rel_s.shape[0]) // E_C
+    group = plan_group(src_blk, grp_tgt_g)
+    ty = jnp.asarray(grp_type)[chunk // group]
+    srcabs = (ty * v + jnp.asarray(src_blk)[chunk] * BLK
+              + jnp.minimum(rel_s, BLK - 1))
+    tgtabs = (jnp.asarray(grp_tgt_g)[chunk // group] * BLK
+              + jnp.minimum(rel_t, BLK - 1))
+    valid = (rel_s < BLK) & (rel_t < BLK)
+    return srcabs, tgtabs, valid
+
+
+def _pair_spmm_stream_jnp(tables, scale, rel_src, rel_tgt, src_blk,
+                          grp_tgt_g, grp_type, v: int, out_rows: int):
+    srcabs, tgtabs, valid = _stream_slot_abs_ids(
+        rel_src, rel_tgt, src_blk, grp_tgt_g, grp_type, v)
+    msgs = jnp.take(tables, srcabs, axis=0, mode="clip").astype(jnp.float32)
+    msgs = msgs * (scale.reshape(-1) * valid)[:, None]
+    seg = jnp.where(valid, tgtabs, out_rows)
+    return jax.ops.segment_sum(msgs, seg, num_segments=out_rows + 1)[:out_rows]
+
+
+def pair_spmm_stream(tables, scale, rel_src, rel_tgt, src_blk, grp_tgt_g,
+                     grp_type, v: int, out_rows: int, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _pair_spmm_stream_jnp if interpret else _pair_spmm_stream_device
+    return fn(tables, scale, rel_src, rel_tgt, src_blk, grp_tgt_g, grp_type,
+              v, out_rows)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def pair_stream_gather_scatter(
+    tables_flat: jnp.ndarray,   # [L*Vs, H] stacked per-type node tables
+    scale_fwd: jnp.ndarray,     # f32 [C_f*E_C] per-slot weight (fwd slots)
+    scale_bwd: jnp.ndarray,     # f32 [C_b*E_C] same weights in bwd slots
+    ovf_scale: jnp.ndarray,     # f32 [OVF] weights of overflow edges (0 pad)
+    rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, grp_type_f,  # streamed fwd
+    rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, grp_type_b,  # streamed bwd
+    ovf_src, ovf_tgt,           # GLOBAL row ids (sentinel tgt = L*Vo)
+    v_src: int,                 # per-type SOURCE rows (ext space under halo)
+    v_out: int,                 # per-type OUTPUT rows (local targets)
+) -> jnp.ndarray:
+    """Per-type aggregates over the streamed concatenated plans:
+    ``out[l*Vo + t] = sum over type-l edges (u -> t) of scale_e *
+    tables[l*Vs + u]`` as f32 [L*Vo, H] — the row-split form's 2L launches
+    collapsed to one per direction. Build the plan arrays with
+    ``concat_typed_plans``."""
+    num_types = tables_flat.shape[0] // v_src
+    out_rows = num_types * v_out
+    out = pair_spmm_stream(tables_flat, scale_fwd, rel_src_f, rel_tgt_f,
+                           src_blk_f, grp_tgt_f, grp_type_f, v_src, out_rows)
+    if ovf_src.shape[0]:
+        msgs = jnp.take(tables_flat, ovf_src, axis=0,
+                        mode="clip").astype(jnp.float32)
+        msgs = msgs * ovf_scale[:, None]
+        out = out + jax.ops.segment_sum(
+            msgs, ovf_tgt, num_segments=out_rows + 1
+        )[:out_rows]
+    return out
+
+
+def _psgs_fwd(tables_flat, scale_fwd, scale_bwd, ovf_scale,
+              rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, grp_type_f,
+              rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, grp_type_b,
+              ovf_src, ovf_tgt, v_src, v_out):
+    out = pair_stream_gather_scatter(
+        tables_flat, scale_fwd, scale_bwd, ovf_scale,
+        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_f, grp_type_f,
+        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, grp_type_b,
+        ovf_src, ovf_tgt, v_src, v_out,
+    )
+    return out, (jnp.zeros((0,), tables_flat.dtype), scale_bwd, ovf_scale,
+                 rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, grp_type_b,
+                 ovf_src, ovf_tgt)
+
+
+def _psgs_bwd(v_src, v_out, res, g):
+    (dtype_carrier, scale_bwd, ovf_scale, rel_src_b, rel_tgt_b, src_blk_b,
+     grp_tgt_b, grp_type_b, ovf_src, ovf_tgt) = res
+    num_types = g.shape[0] // v_out
+    rows = num_types * v_src
+    # Transposed stream: the resident slice is the cotangent's type slab
+    # (v_out rows), the outputs are the stacked source rows.
+    d_tables = pair_spmm_stream(g.astype(dtype_carrier.dtype), scale_bwd,
+                                rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+                                grp_type_b, v_out, rows)
+    if ovf_src.shape[0]:
+        g_rows = jnp.take(g, jnp.minimum(ovf_tgt, rows - 1), axis=0,
+                          mode="clip")
+        g_rows = g_rows * ovf_scale[:, None]
+        d_tables = d_tables + jax.ops.segment_sum(
+            g_rows, ovf_src, num_segments=rows
+        )
+    return (d_tables,) + (None,) * 15
+
+
+pair_stream_gather_scatter.defvjp(_psgs_fwd, _psgs_bwd)
+
+
+def concat_typed_plans(plans_typed, v_src: int, v_out: int,
+                       normalize: bool):
+    """Concatenate per-type ``PairPlans.astuple()`` tuples into the streamed
+    layout: (scales, fwd arrays + grp_type, bwd arrays + grp_type, global
+    overflow ids). Forward output blocks globalize to the stacked [L*Vo]
+    target row space, backward output blocks to the stacked [L*Vs] source
+    row space; per-slot scales come from the host-precomputed ``inv_*``
+    (normalize) or unit scales. All types must share each direction's grid
+    group (the dataset builds them with one ``pair_group_*`` config)."""
+    num_types = len(plans_typed)
+    gf = plan_group(plans_typed[0][2], plans_typed[0][3])
+    gb = plan_group(plans_typed[0][6], plans_typed[0][7])
+    for p in plans_typed[1:]:
+        assert plan_group(p[2], p[3]) == gf and plan_group(p[6], p[7]) == gb
+
+    def cat(i):
+        return jnp.concatenate([jnp.asarray(p[i]) for p in plans_typed])
+
+    def cat_groups(i, out_blocks):
+        parts, types = [], []
+        for ty, p in enumerate(plans_typed):
+            arr = jnp.asarray(p[i])
+            parts.append(arr + ty * out_blocks)
+            types.append(jnp.full(arr.shape, ty, jnp.int32))
+        return jnp.concatenate(parts), jnp.concatenate(types)
+
+    grp_tgt_f, grp_type_f = cat_groups(3, v_out // BLK)
+    grp_tgt_b, grp_type_b = cat_groups(7, v_src // BLK)
+
+    ovf_srcs, ovf_tgts, ovf_scales = [], [], []
+    for ty, p in enumerate(plans_typed):
+        o_src = jnp.asarray(p[8])
+        o_tgt = jnp.asarray(p[9])
+        ovf_srcs.append(ty * v_src + o_src)
+        # Per-type sentinel (== v_out) maps to the global discard row
+        # L*Vo — NOT ty*v_out + v_out, a real row of the next type.
+        ovf_tgts.append(jnp.where(o_tgt >= v_out, num_types * v_out,
+                                  ty * v_out + o_tgt))
+        if normalize:
+            ovf_scales.append(jnp.asarray(p[12]))
+        else:
+            ovf_scales.append((o_tgt < v_out).astype(jnp.float32))
+    if normalize:
+        scale_fwd, scale_bwd = cat(10), cat(11)
+    else:
+        scale_fwd = jnp.ones((sum(np.prod(p[0].shape) for p in plans_typed),),
+                             jnp.float32)
+        scale_bwd = jnp.ones((sum(np.prod(p[4].shape) for p in plans_typed),),
+                             jnp.float32)
+    return (scale_fwd, scale_bwd, jnp.concatenate(ovf_scales),
+            cat(0), cat(1), cat(2), grp_tgt_f, grp_type_f,
+            cat(4), cat(5), cat(6), grp_tgt_b, grp_type_b,
+            jnp.concatenate(ovf_srcs), jnp.concatenate(ovf_tgts))
+
+
+def pair_stream_from_typed(tables_flat, plans_typed, v_out: int,
+                           normalize: bool):
+    """Row-split per-type aggregates [L*Vo, H] in ONE launch per direction
+    (replaces the per-type kernel loop — QM9's 2L launches per layer).
+    ``tables_flat`` may span a larger per-type source row space (SPMD-halo
+    ext rows) than the local target rows ``v_out``."""
+    v_src = tables_flat.shape[0] // len(plans_typed)
+    args = concat_typed_plans(plans_typed, v_src, v_out, normalize)
+    return pair_stream_gather_scatter(tables_flat, *args, v_src, v_out)
