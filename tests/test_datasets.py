@@ -159,3 +159,46 @@ def test_all_batches_share_static_shapes(jsonl_dir):
              batch.num_graphs_padded)
         )
     assert len(shapes) == 1  # exactly one XLA program per fold
+
+
+def test_eval_batches_cached_across_epochs(jsonl_dir):
+    """Non-TRAIN folds replay their first epoch's finalised batches
+    (packing + host plan building run ONCE); TRAIN reshuffles and is never
+    cached; reloading a fold invalidates its cache (VERDICT r3 item 4)."""
+    from unittest import mock
+
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update({"num_fwd_edge_types": 1, "max_nodes_per_batch": 30})
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(jsonl_dir)
+
+    finalise = type(ds)._finalise_batch
+    with mock.patch.object(type(ds), "_finalise_batch",
+                           autospec=True, side_effect=finalise) as m:
+        first = list(ds.batch_iterator(DataFold.VALIDATION))
+        packs_first = m.call_count
+        assert packs_first == len(first) > 0
+        second = list(ds.batch_iterator(DataFold.VALIDATION))
+        assert m.call_count == packs_first  # replayed, not re-packed
+        for (b1, l1), (b2, l2) in zip(first, second):
+            np.testing.assert_array_equal(np.asarray(b1.node_features),
+                                          np.asarray(b2.node_features))
+            for k in l1:
+                np.testing.assert_array_equal(l1[k], l2[k])
+
+        list(ds.batch_iterator(DataFold.TRAIN))
+        train_packs = m.call_count - packs_first
+        list(ds.batch_iterator(DataFold.TRAIN))
+        assert m.call_count == packs_first + 2 * train_packs  # no caching
+
+    # Reloading a fold drops its cached batches.
+    ds.load_data_from_list(
+        [{"graph": {"node_features": [[0.0] * 50] * 3,
+                    "adjacency_lists": [[[0, 1], [1, 2]]]},
+          "Property": 1.0}],
+        DataFold.VALIDATION,
+    )
+    with mock.patch.object(type(ds), "_finalise_batch",
+                           autospec=True, side_effect=finalise) as m:
+        list(ds.batch_iterator(DataFold.VALIDATION))
+        assert m.call_count > 0

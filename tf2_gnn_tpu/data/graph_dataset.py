@@ -113,9 +113,16 @@ class GraphDataset(ABC):
         self._params = dict(params)
         self._params.setdefault("padding_slack", 1.25)
         self._params.setdefault("padding_alignment", 64)
+        # Non-TRAIN folds iterate in a fixed order, so their packed batches
+        # (including the host-built kernel plans — 53 ms/batch on a 1-core
+        # host, PERFORMANCE.md "Host-side batch planning") are identical
+        # every epoch; cache them after the first pass. TRAIN reshuffles
+        # each epoch and is never cached.
+        self._params.setdefault("cache_eval_batches", True)
         self._metadata = metadata if metadata is not None else {}
         self._use_worker_threads = use_worker_threads
         self._padding_config: Optional[PaddingConfig] = None
+        self._batch_cache: Dict[DataFold, list] = {}
 
     # ---- basic properties ---------------------------------------------------
     @property
@@ -470,17 +477,32 @@ class GraphDataset(ABC):
         thread (data/prefetch.py), overlapping host packing with device
         compute — the reference's DoubleBufferedIterator + prefetch(3)
         pipeline (graph_dataset.py:292-297, training_utils.py:114-115).
+
+        Non-TRAIN folds replay their first epoch's finalised batches from
+        an in-memory cache (``cache_eval_batches``, default on): their
+        iteration order is fixed, so re-packing and re-planning identical
+        batches every eval epoch is pure host waste.
         """
         config = self.padding_config
+        cacheable = (data_fold != DataFold.TRAIN
+                     and bool(self._params.get("cache_eval_batches")))
+        if cacheable and data_fold in self._batch_cache:
+            return iter(self._batch_cache[data_fold])
 
         def generate():
+            collected = [] if cacheable else None
             for batch_graphs in self._pack_graphs(
                 self._graph_iterator(data_fold),
                 config.num_nodes,
                 edge_budgets=config.edge_budgets,
                 graph_budget=config.num_graphs,
             ):
-                yield self._finalise_batch(batch_graphs, config)
+                finalised = self._finalise_batch(batch_graphs, config)
+                if collected is not None:
+                    collected.append(finalised)
+                yield finalised
+            if collected is not None:
+                self._batch_cache[data_fold] = collected
 
         if self._use_worker_threads:
             from .prefetch import prefetch
