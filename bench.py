@@ -31,14 +31,11 @@ TIMED_STEPS_BASE = 10
 TIMED_STEPS_FULL = 30
 
 
-def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
-                pair_merge_targets: bool = False):
-    from tf2_gnn_tpu.data.graph_batch import (
-        PaddingConfig,
-        pad_batch_arrays,
-        pad_node_label_array,
-    )
-
+def build_raw_arrays(seed: int):
+    """The bench workload's RAW graph arrays — the single source of truth
+    for its composition (tests/test_bench_shapes.py partitions these same
+    arrays for the SPMD fast-path pins, so a workload change propagates).
+    Returns (node_features, [loops, fwd, bkwd] adjacency, node_to_graph)."""
     rng = np.random.RandomState(seed)
     v = GRAPHS_PER_BATCH * NODES_PER_GRAPH
     fwd_chunks, bkwd_chunks, loop_chunks = [], [], []
@@ -50,10 +47,29 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
         bkwd_chunks.append(np.stack([tgt, src], axis=1))
         nodes = np.arange(base, base + NODES_PER_GRAPH)
         loop_chunks.append(np.stack([nodes, nodes], axis=1))
+    adjacency = [
+        np.concatenate(loop_chunks).astype(np.int32),
+        np.concatenate(fwd_chunks).astype(np.int32),
+        np.concatenate(bkwd_chunks).astype(np.int32),
+    ]
+    node_features = rng.randn(v, FEATURE_DIM).astype(np.float32)
+    node_to_graph = np.repeat(
+        np.arange(GRAPHS_PER_BATCH, dtype=np.int32), NODES_PER_GRAPH
+    )
+    return node_features, adjacency, node_to_graph
 
-    fwd = np.concatenate(fwd_chunks).astype(np.int32)
-    bkwd = np.concatenate(bkwd_chunks).astype(np.int32)
-    loops = np.concatenate(loop_chunks).astype(np.int32)
+
+def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
+                pair_merge_targets: bool = False):
+    from tf2_gnn_tpu.data.graph_batch import (
+        PaddingConfig,
+        pad_batch_arrays,
+        pad_node_label_array,
+    )
+
+    rng = np.random.RandomState(seed)
+    v = GRAPHS_PER_BATCH * NODES_PER_GRAPH
+    node_features, (loops, fwd, bkwd), node_to_graph = build_raw_arrays(seed)
 
     def round_up(x, m=512):
         return ((x + m - 1) // m) * m
@@ -68,11 +84,9 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
         ),
     )
     batch = pad_batch_arrays(
-        node_features=rng.randn(v, FEATURE_DIM).astype(np.float32),
+        node_features=node_features,
         adjacency_lists=[loops, fwd, bkwd],
-        node_to_graph=np.repeat(
-            np.arange(GRAPHS_PER_BATCH, dtype=np.int32), NODES_PER_GRAPH
-        ),
+        node_to_graph=node_to_graph,
         num_graphs=GRAPHS_PER_BATCH,
         config=config,
     )
