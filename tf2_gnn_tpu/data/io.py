@@ -52,6 +52,50 @@ def _resolve(path: PathLike) -> PathLike:
     return path
 
 
+def make_staging_resolver(remote_root: PathLike,
+                          cache_dir: PathLike = None
+                          ) -> Callable[[str], Path]:
+    """A SHIPPED reference resolver: read-through staging cache.
+
+    Maps ``<scheme>://bucket/key...`` to ``remote_root/bucket/key...`` and
+    copies the object into ``cache_dir`` on first access (re-staged when
+    the source's size or mtime changes). ``remote_root`` is whatever makes
+    the store look like a filesystem — a blobfuse/gcsfuse/NFS mount point,
+    an azcopy-synced directory, a fixture tree in tests. This is the same
+    topology dpu-utils' AzurePath gives the reference
+    (tf2_gnn/data/graph_dataset.py:7): URIs in configs, local files at
+    read time.
+
+        register_path_resolver("azure", make_staging_resolver("/mnt/blob"))
+
+    With ``cache_dir=None`` objects are read in place from the mount (no
+    copy) — right when ``remote_root`` is already local-fast.
+    """
+    remote_root = Path(remote_root)
+
+    def resolver(uri: str) -> Path:
+        rel = uri.split("://", 1)[1]
+        source = remote_root / rel
+        if not source.exists():
+            raise FileNotFoundError(f"{uri} -> {source} does not exist")
+        if cache_dir is None:
+            return source
+        staged = Path(cache_dir) / rel
+        src_stat = source.stat()
+        if (not staged.exists()
+                or staged.stat().st_size != src_stat.st_size
+                or staged.stat().st_mtime < src_stat.st_mtime):
+            import shutil
+
+            staged.parent.mkdir(parents=True, exist_ok=True)
+            tmp = staged.with_suffix(staged.suffix + ".staging")
+            shutil.copy2(source, tmp)
+            tmp.replace(staged)  # atomic publish: readers never see partials
+        return staged
+
+    return resolver
+
+
 def read_by_file_suffix(path: PathLike) -> Any:
     path = Path(_resolve(path))
     name = path.name
