@@ -70,25 +70,36 @@ def write_qm9_dataset(path: Path, num_graphs=10, feature_dim=6, seed=0):
 
 
 def write_ppi_dataset(path: Path, graphs_per_fold=2, nodes_per_graph=8,
-                      feature_dim=5, num_labels=121, seed=0):
-    """DGL-format PPI files: {fold}_graph.json + feats/labels/graph_id .npy."""
+                      feature_dim=5, num_labels=121, seed=0,
+                      edges_per_graph=None,
+                      folds=("train", "valid", "test")):
+    """DGL-format PPI files: {fold}_graph.json + feats/labels/graph_id .npy.
+
+    ``graphs_per_fold``/``edges_per_graph`` may be dicts keyed by fold name
+    (benchmarks write real-PPI-sized folds: 20 train graphs of ~2400 nodes).
+    """
     rng = np.random.RandomState(seed)
     path.mkdir(parents=True, exist_ok=True)
-    for fold in ("train", "valid", "test"):
-        total_nodes = graphs_per_fold * nodes_per_graph
+    for fold in folds:
+        n_graphs = (graphs_per_fold.get(fold)
+                    if isinstance(graphs_per_fold, dict) else graphs_per_fold)
+        e_pg = (edges_per_graph.get(fold)
+                if isinstance(edges_per_graph, dict) else edges_per_graph)
+        if e_pg is None:
+            e_pg = nodes_per_graph * 2
+        total_nodes = n_graphs * nodes_per_graph
         feats = rng.randn(total_nodes, feature_dim).astype(np.float32)
         labels = (rng.rand(total_nodes, num_labels) > 0.9).astype(np.float32)
-        graph_ids = np.repeat(np.arange(graphs_per_fold), nodes_per_graph)
+        graph_ids = np.repeat(np.arange(n_graphs), nodes_per_graph)
         links = []
-        for g in range(graphs_per_fold):
+        for g in range(n_graphs):
             base = g * nodes_per_graph
-            for _ in range(nodes_per_graph * 2):
-                links.append(
-                    {
-                        "source": int(base + rng.randint(0, nodes_per_graph)),
-                        "target": int(base + rng.randint(0, nodes_per_graph)),
-                    }
-                )
+            src = base + rng.randint(0, nodes_per_graph, e_pg)
+            tgt = base + rng.randint(0, nodes_per_graph, e_pg)
+            links.extend(
+                {"source": int(s), "target": int(t)}
+                for s, t in zip(src, tgt)
+            )
         with open(path / f"{fold}_graph.json", "w") as f:
             json.dump({"links": links}, f)
         np.save(path / f"{fold}_feats.npy", feats)
