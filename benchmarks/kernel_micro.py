@@ -25,9 +25,51 @@ H = 320
 L = 3
 
 
+def device_chain_timed(body, seed, n1=4, n2=16, reps=2):
+    """DEVICE-side chaining: ``body(x) -> array`` is iterated inside ONE
+    jitted ``fori_loop`` (data-dependent through a 1e-12-scaled add, so
+    XLA can neither CSE nor reorder the iterations), and two trip counts
+    are differenced. This is the only per-kernel methodology that holds up
+    through the axon tunnel: per-CALL chaining (``timed`` below) pays a
+    0.3-1.2 ms host dispatch per link, which swamps sub-ms kernels — a
+    round-4 control measured a bare copy ("noop") at 1.21 ms while the
+    bound stabiliser it was supposed to dwarf measured 0.31 ms. Returns
+    ms per body invocation."""
+    import time as _time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=1)
+    def many(x, n):
+        def step(i, x):
+            return (x + 1e-12 * body(x).astype(x.dtype)).astype(x.dtype)
+        return jax.lax.fori_loop(0, n, step, x).sum()
+
+    float(np.asarray(many(seed, n1)))
+    float(np.asarray(many(seed, n2)))
+    best = None
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        float(np.asarray(many(seed, n1)))
+        t1 = _time.perf_counter()
+        float(np.asarray(many(seed, n2)))
+        t2 = _time.perf_counter()
+        cur = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+        best = cur if best is None else min(best, cur)
+    return best
+
+
 def timed(fn, seed_chain, base=6, full=18):
     """fn(chain) -> (chain_out, force_scalar); ONE jit entry, the forcing
-    scalar is produced in-jit so host-side sync is a bare 4-byte transfer."""
+    scalar is produced in-jit so host-side sync is a bare 4-byte transfer.
+
+    CAVEAT (round 4): each chain link is a separate host dispatch; through
+    the axon tunnel that costs 0.3-1.2 ms PER LINK, so values below ~2 ms
+    are dispatch-bound, not kernel-bound. Prefer ``device_chain_timed``
+    for per-kernel numbers; this form remains fine for multi-ms components
+    (full train steps)."""
     out, scalar = fn(seed_chain)  # compile + warm
     out, scalar = fn(out)
     # Force completion of compile + warmup before timing (the tunnel's

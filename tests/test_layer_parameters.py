@@ -113,3 +113,24 @@ def test_output_shapes_all_flavours():
         out = layer.apply(variables, batch.node_features, batch)
         assert out.shape == (batch.num_nodes_padded, 12), flavour
         assert np.all(np.isfinite(np.asarray(out))), flavour
+
+
+def test_typed_linear_compute_dtype():
+    """Mixed-precision TypedLinear: f32 master params, bf16 operands, f32
+    accumulation — output within bf16 rounding of the f32 form, parameters
+    identical (the cast never touches the stored kernel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf2_gnn_tpu.layers.message_passing.typed_linear import TypedLinear
+
+    x = jnp.asarray(np.random.RandomState(0).randn(40, 16).astype(np.float32))
+    f32 = TypedLinear(3, 16, 8)
+    bf16 = TypedLinear(3, 16, 8, compute_dtype="bfloat16")
+    variables = f32.init(jax.random.PRNGKey(0), x)
+    out32 = f32.apply(variables, x)
+    out16 = bf16.apply(variables, x)
+    assert out16.dtype == jnp.float32  # accumulation/output stay f32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)

@@ -74,7 +74,8 @@ class GNN_Edge_MLP(MessagePassing):
             hidden = node_states  # [V, D] -> becomes [L, V, *]
             for i, size in enumerate(layer_sizes):
                 hidden = TypedLinear(
-                    num_types, hidden.shape[-1], size, name=f"edge_mlp_layer_{i}"
+                    num_types, hidden.shape[-1], size, name=f"edge_mlp_layer_{i}",
+                    compute_dtype=self.dense_dtype
                 )(hidden)
                 if i < num_hidden:  # hidden layers get ReLU; final layer doesn't
                     hidden = jax.nn.relu(hidden)
@@ -87,16 +88,19 @@ class GNN_Edge_MLP(MessagePassing):
         # Split the first layer across source/target halves (node space), run
         # any remaining layers per edge.
         first_out = layer_sizes[0]
-        src_half = TypedLinear(num_types, in_dim, first_out, name="edge_mlp_src_0")(
+        src_half = TypedLinear(num_types, in_dim, first_out, name="edge_mlp_src_0",
+                               compute_dtype=self.dense_dtype)(
             node_states
         )  # [L, V, first_out]
-        tgt_half = TypedLinear(num_types, in_dim, first_out, name="edge_mlp_tgt_0")(
+        tgt_half = TypedLinear(num_types, in_dim, first_out, name="edge_mlp_tgt_0",
+                               compute_dtype=self.dense_dtype)(
             node_states
         )  # [L, V, first_out]
 
         rest_layers = [
             TypedLinear(
-                num_types, layer_sizes[i - 1], layer_sizes[i], name=f"edge_mlp_layer_{i}"
+                num_types, layer_sizes[i - 1], layer_sizes[i], name=f"edge_mlp_layer_{i}",
+                compute_dtype=self.dense_dtype
             )
             for i in range(1, len(layer_sizes))
         ]
@@ -265,9 +269,11 @@ class GNN_Edge_MLP(MessagePassing):
         # base.py:282): the source half spans the ext row space the plans
         # address; the target half only needs the local rows.
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_src_0")(node_states)
+                               name="edge_mlp_src_0",
+                               compute_dtype=self.dense_dtype)(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states[:v])
+                               name="edge_mlp_tgt_0",
+                               compute_dtype=self.dense_dtype)(node_states[:v])
         src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
@@ -320,9 +326,11 @@ class GNN_Edge_MLP(MessagePassing):
         # Source half spans the (possibly ext/halo) source row space the
         # plans address; the target half only needs the local rows.
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_src_0")(node_states)
+                               name="edge_mlp_src_0",
+                               compute_dtype=self.dense_dtype)(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states[:v])
+                               name="edge_mlp_tgt_0",
+                               compute_dtype=self.dense_dtype)(node_states[:v])
         a = src_half.reshape(num_types * src_half.shape[1], -1)
         bt = tgt_half.reshape(out_rows, -1)  # merged-target layout l*V + v
         if self.edge_dtype != "float32":
@@ -332,7 +340,8 @@ class GNN_Edge_MLP(MessagePassing):
             a, bt, sf, sb, so, *plans[:10], out_rows
         )  # [L*V, H] f32
         w2 = TypedLinear(num_types, self.hidden_dim, self.hidden_dim,
-                         name="edge_mlp_layer_1")
+                         name="edge_mlp_layer_1",
+                         compute_dtype=self.dense_dtype)
         return w2(typed_sums.reshape(num_types, v, -1)).sum(axis=0)
 
     def _fused_target_state_one_hidden(self, node_states, batch: GraphBatch):
@@ -365,12 +374,14 @@ class GNN_Edge_MLP(MessagePassing):
         v = batch.num_nodes_padded
         in_dim = node_states.shape[-1]
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_src_0")(node_states)
+                               name="edge_mlp_src_0",
+                               compute_dtype=self.dense_dtype)(node_states)
         # Target half on LOCAL rows only (under SPMD-halo ``node_states``
         # are the pre-exchanged ext states; targets never live in halo
         # rows, so transforming them would be wasted per-type matmuls).
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states[:v])
+                               name="edge_mlp_tgt_0",
+                               compute_dtype=self.dense_dtype)(node_states[:v])
         src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)
@@ -402,7 +413,8 @@ class GNN_Edge_MLP(MessagePassing):
             for l in range(num_types)
         ])  # [L, V, H] f32
         w2 = TypedLinear(num_types, self.hidden_dim, self.hidden_dim,
-                         name="edge_mlp_layer_1")
+                         name="edge_mlp_layer_1",
+                         compute_dtype=self.dense_dtype)
         return w2(typed_sums.astype(r.dtype)).sum(axis=0)
 
     def _fused_normalisation_scales(self, batch: GraphBatch, plan):
@@ -434,7 +446,8 @@ class GNN_Edge_MLP(MessagePassing):
         num_hidden = self.num_edge_MLP_hidden_layers
         dims = [node_states.shape[-1]] + [int(s) for s in layer_sizes[:-1]]
         mlp = [
-            TypedLinear(num_types, dims[i], size, name=f"edge_mlp_layer_{i}")
+            TypedLinear(num_types, dims[i], size, name=f"edge_mlp_layer_{i}",
+                        compute_dtype=self.dense_dtype)
             for i, size in enumerate(layer_sizes)
         ]
 
@@ -543,9 +556,11 @@ class GNN_Edge_MLP(MessagePassing):
         plan = PlanView(batch.scatter_plans)
         in_dim = node_states.shape[-1]
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_src_0")(node_states)
+                               name="edge_mlp_src_0",
+                               compute_dtype=self.dense_dtype)(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
-                               name="edge_mlp_tgt_0")(node_states)
+                               name="edge_mlp_tgt_0",
+                               compute_dtype=self.dense_dtype)(node_states)
         src_flat = src_half.reshape(num_types * src_half.shape[1], -1)
         if self.edge_dtype != "float32":
             src_flat = src_flat.astype(self.edge_dtype)

@@ -48,7 +48,8 @@ class GNN_FiLM(GNN_Edge_MLP):
         num_hidden = len(sizes) - 1
         for i, size in enumerate(sizes):
             film = TypedLinear(
-                num_types, film.shape[-1], size, name=f"film_mlp_layer_{i}"
+                num_types, film.shape[-1], size, name=f"film_mlp_layer_{i}",
+                compute_dtype=self.dense_dtype
             )(film)
             if i < num_hidden:
                 film = jax.nn.relu(film)

@@ -108,7 +108,8 @@ class RGAT(MessagePassing):
         k_pad = self._padded_heads()
 
         mod = TypedLinear(num_types, node_states.shape[-1], self.hidden_dim,
-                          name="edge_weights")
+                          name="edge_weights",
+                          compute_dtype=self.dense_dtype)
         if (batch.spmd_axis is not None and batch.halo_mode
                 and node_states.shape[0] == batch.num_nodes_padded):
             # Halo-overlap form: LOCAL states in, ext tables self-assembled —
@@ -231,7 +232,8 @@ class RGAT(MessagePassing):
         head_dim = self.hidden_dim // heads
 
         transformed = TypedLinear(
-            num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights"
+            num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights",
+            compute_dtype=self.dense_dtype
         )(node_states)  # [L, Vr, H]
         attention_params = self.param(
             "edge_attention_parameters",
@@ -318,7 +320,8 @@ class RGAT(MessagePassing):
 
         # Node space: transformed states for all types at once [L, V, K, H/K].
         transformed = TypedLinear(
-            num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights"
+            num_types, node_states.shape[-1], self.hidden_dim, name="edge_weights",
+            compute_dtype=self.dense_dtype
         )(node_states).reshape(num_types, -1, heads, head_dim)
 
         # Per-type attention parameters [L, K, 2*H/K], split into source/target

@@ -18,11 +18,23 @@ class TypedLinear(nn.Module):
     * ``__call__(x)`` with x [V, D] -> [L, V, out_size] (broadcast all types)
     * ``__call__(x)`` with x [L, V, D] -> [L, V, out_size] (per-type batched)
     * ``__call__(x, edge_type=l)`` with x [N, D] -> [N, out_size] (one type)
+
+    ``compute_dtype="bfloat16"`` casts BOTH operands before the einsum
+    (f32 master parameters, f32 accumulation AND output via
+    preferred_element_type) — standard mixed-precision matmul. On TPU the
+    MXU's default single pass already truncates f32 inputs to bf16 per
+    pass, so this changes only the OPERAND BANDWIDTH, not the product
+    rounding. Measured at the PPI bench shape (round 4): -1.0 ms/layer on
+    an ISOLATED layer chain, but NO step-level win in the full train step
+    (XLA overlaps the dense reads there) — shipped configs keep float32;
+    the knob exists for larger shapes where dense bandwidth genuinely
+    binds.
     """
 
     num_types: int
     in_size: int
     out_size: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_type: Optional[int] = None) -> jnp.ndarray:
@@ -31,6 +43,10 @@ class TypedLinear(nn.Module):
             nn.initializers.glorot_uniform(batch_axis=(0,)),
             (self.num_types, self.in_size, self.out_size),
         )
+        if self.compute_dtype != "float32":
+            dt = jnp.dtype(self.compute_dtype)
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
         if edge_type is not None:
             return jnp.dot(x, kernel[edge_type], preferred_element_type=jnp.float32)
         if x.ndim == 2:
