@@ -101,15 +101,22 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
         )
         batch = batch.replace(scatter_plans=plan.astuple())
     if use_pairs:
-        from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans
+        from tf2_gnn_tpu.ops.pair_spmm import build_pair_plans, choose_pair_groups
 
+        srcs = [np.asarray(s_) for s_ in batch.edge_sources]
+        tgts = [np.asarray(t_) for t_ in batch.edge_targets]
+        cnts = [int(c) for c in np.asarray(batch.num_edges)]
+        # Adaptive grid groups, exactly as the dataset path chooses them
+        # (graph_dataset.py): merged-target plans fragment output runs
+        # (L*V target blocks), where GROUP-8 measures 3256 fwd chunks vs
+        # GROUP-16's 4624 at this shape; the joint plans keep 16/8.
+        gf, gb = choose_pair_groups(srcs, tgts, cnts, NODE_BUDGET,
+                                    merge_targets=pair_merge_targets)
         pairs = build_pair_plans(
-            [np.asarray(s_) for s_ in batch.edge_sources],
-            [np.asarray(t_) for t_ in batch.edge_targets],
-            [int(c) for c in np.asarray(batch.num_edges)],
-            NODE_BUDGET,
+            srcs, tgts, cnts, NODE_BUDGET,
             overflow_budget=256,
             merge_targets=pair_merge_targets,
+            group_fwd=gf, group_bwd=gb,
         )
         batch = batch.replace(pair_plans=pairs.astuple(),
                               pair_targets_merged=pair_merge_targets)
