@@ -89,7 +89,7 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
 
 
 def run(epochs, flavour="rgcn", use_pairs=True, quiet=False,
-        ppi_shaped=False):
+        ppi_shaped=False, merge_targets=False):
     """Train one configuration; returns the per-epoch valid F1 trajectory.
 
     ``use_pairs=False`` runs the plain XLA gather/segment path (no plans at
@@ -107,7 +107,8 @@ def run(epochs, flavour="rgcn", use_pairs=True, quiet=False,
         {**GraphDataset.get_default_hyperparameters(),
          "max_nodes_per_batch": 8064 if ppi_shaped else 1024,
          "use_pallas_spmm": use_pairs,
-         "use_pair_spmm": use_pairs},
+         "use_pair_spmm": use_pairs,
+         "pair_merge_targets": merge_targets},
         num_graphs=60 if ppi_shaped else 200,
         nodes_per_graph=2400 if ppi_shaped else 200,
     )
@@ -158,6 +159,28 @@ def main():
         gap = max(abs(a - b) for a, b in zip(f1_pair[:n], f1_xla[:n]))
         print(json.dumps({
             "task": "synthetic_neighbourhood_multilabel_rgat_ab",
+            "pair_trajectory": f1_pair,
+            "xla_trajectory": f1_xla,
+            "max_f1_gap": round(gap, 4),
+            "final_valid_f1": f1_pair[-1] if f1_pair else None,
+            "epochs": epochs,
+        }), flush=True)
+        return
+
+    if mode == "edge-mlp-ab":
+        # A/B for the round-4 target-state 1-hidden pair kernel
+        # (ops/pair_edge_mlp.py — the reference's DEFAULT GNN_Edge_MLP
+        # config): identical seeds through the merged-target pair path vs
+        # the plain XLA per-edge path. The pair forward rounds its
+        # messages to the bf16 stream (like every fused path), so the
+        # claim is trajectory-level agreement.
+        f1_pair = run(epochs, "gnn_edge_mlp", use_pairs=True,
+                      merge_targets=True)
+        f1_xla = run(epochs, "gnn_edge_mlp", use_pairs=False)
+        n = min(len(f1_pair), len(f1_xla))
+        gap = max(abs(a - b) for a, b in zip(f1_pair[:n], f1_xla[:n]))
+        print(json.dumps({
+            "task": "synthetic_neighbourhood_multilabel_edge_mlp_ab",
             "pair_trajectory": f1_pair,
             "xla_trajectory": f1_xla,
             "max_f1_gap": round(gap, 4),

@@ -36,9 +36,23 @@ if [ "$EQUIV_RC" -ne 0 ]; then
     exit 1
 fi
 
+echo "== kernel re-baseline (device-chained, tunnel-proof) =="
+timeout 1800 python benchmarks/kernel_rebaseline.py \
+    > "$OUT/15_kernel_rebaseline.log" 2>&1
+tail -8 "$OUT/15_kernel_rebaseline.log"
+
 echo "== pair kernel micro-bench (fwd/bwd/grad) =="
 timeout 1800 python benchmarks/pair_bench.py > "$OUT/20_pair_bench.log" 2>&1
 tail -8 "$OUT/20_pair_bench.log"
+
+echo "== reference-default edge MLP (target-state 1-hidden pair kernel) =="
+timeout 1800 python benchmarks/edge_mlp_probe.py pair scatter \
+    > "$OUT/22_edge_mlp.log" 2>&1
+tail -3 "$OUT/22_edge_mlp.log"
+
+echo "== degree-skew throughput (uniform vs zipf) =="
+timeout 1800 python benchmarks/skew_probe.py > "$OUT/24_skew.log" 2>&1
+tail -3 "$OUT/24_skew.log"
 
 echo "== attention per-kernel split (max/expd/agg/fwd/grad) =="
 timeout 1800 python benchmarks/attention_probe.py \
@@ -50,10 +64,20 @@ timeout 2400 python benchmarks/convergence.py 8 rgat-ab \
     > "$OUT/27_rgat_ab.log" 2>&1
 tail -2 "$OUT/27_rgat_ab.log"
 
+echo "== edge-MLP learning A/B (default-config pair kernel vs XLA) =="
+timeout 2400 python benchmarks/convergence.py 8 edge-mlp-ab \
+    > "$OUT/28_edge_mlp_ab.log" 2>&1
+tail -2 "$OUT/28_edge_mlp_ab.log"
+
 echo "== RGAT flavour sweep (XLA vs fused) =="
 timeout 2400 python benchmarks/flavour_sweep.py rgat \
     > "$OUT/30_rgat_sweep.log" 2>&1
 tail -4 "$OUT/30_rgat_sweep.log"
+
+echo "== end-to-end epoch throughput (host pipeline + eval cache) =="
+timeout 1800 python benchmarks/epoch_throughput.py \
+    > "$OUT/35_epoch.log" 2>&1
+tail -5 "$OUT/35_epoch.log"
 
 echo "== headline bench (driver metric) =="
 timeout 1800 python bench.py > "$OUT/40_bench.log" 2>&1

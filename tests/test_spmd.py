@@ -368,11 +368,20 @@ def test_spmd_fused_train_step_matches_single_device():
     [("rgcn", False, "dense"), ("rgcn", False, "ring"),
      ("ggnn", False, "dense"), ("rgin", False, "dense"),
      ("gnn_edge_mlp", True, "dense"), ("gnn_film", True, "ring"),
+     ("gnn_edge_mlp_1hidden", True, "dense"),
+     ("gnn_edge_mlp_1hidden", True, "ring"),
      ("rgat", False, "dense"), ("rgat", False, "ring")],
 )
 def test_spmd_pair_path_matches_single_device(flavour, merge, halo_form):
-    extra = ({"gnn_num_edge_MLP_hidden_layers": 0}
-             if flavour == "gnn_edge_mlp" else {})
+    extra = {}
+    if flavour == "gnn_edge_mlp":
+        extra = {"gnn_num_edge_MLP_hidden_layers": 0}
+    elif flavour == "gnn_edge_mlp_1hidden":
+        # The round-4 dedicated pair kernel for the reference-DEFAULT
+        # config (target state + 1 hidden layer) composed with SPMD-halo:
+        # per-shard merged plans over the ext source row space, the dA
+        # pass scattering into ext rows.
+        flavour, extra = "gnn_edge_mlp", {"gnn_num_edge_MLP_hidden_layers": 1}
     _run_spmd_pair_case(flavour, merge, halo_form, extra)
 
 
@@ -408,6 +417,10 @@ def _run_spmd_pair_case(flavour, merge, halo_form, extra):
     calls = []
     if flavour == "rgat":
         target_mod, target_name = pa, "pair_attention"
+    elif extra.get("gnn_num_edge_MLP_hidden_layers") == 1:
+        import tf2_gnn_tpu.ops.pair_edge_mlp as pem
+
+        target_mod, target_name = pem, "pair_relu_mlp_aggregate"
     else:
         target_mod, target_name = ps, "pair_typed_gather_scatter"
     orig = getattr(target_mod, target_name)
