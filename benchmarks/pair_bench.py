@@ -5,6 +5,12 @@ Pallas kernel + custom VJP), checks fwd/bwd against the jnp fallback, and
 times both directions with the differenced-chain methodology.
 
 Usage: python benchmarks/pair_bench.py [fwd bwd grad]
+
+NOTE (round 4): this probe uses the per-call chain methodology, which
+pays 0.3-1.2 ms of host dispatch per link through the axon tunnel —
+fine for trend-tracking multi-ms chains, but for absolute per-kernel
+numbers prefer benchmarks/kernel_rebaseline.py (device-chained
+fori_loop; see PERFORMANCE.md round-4 methodology correction).
 """
 import sys
 from pathlib import Path
