@@ -616,3 +616,33 @@ def test_pair_group_choice_uses_busiest_shard():
     # The shard whose edges were measured is the busiest one (the dense
     # block lands ~4000 + a few self-loop edges on the last shard).
     assert len(seen) == 1 and seen[0] >= 4000
+
+
+def test_hybrid_stack_rejects_mismatched_replicas_clearly():
+    """Replicas whose partitioning produced different static structure
+    (here: auto-reorder engaging on a shuffled replica but not on a
+    zero-boundary one) must fail with a message naming the fix, not a
+    cryptic pytree mismatch."""
+    from tf2_gnn_tpu.parallel import stack_partitioned_batches
+
+    rng = np.random.RandomState(3)
+    v = 64
+    nodes = np.arange(v)
+    # Replica A: self-loops only (auto-reorder declines).
+    adj_a = [np.stack([nodes, nodes], 1).astype(np.int32)]
+    # Replica B: shuffled ring-local (auto-reorder engages -> node_restore
+    # leaf exists only here).
+    src = np.clip(nodes.repeat(4) + rng.randint(-2, 3, v * 4), 0, v - 1)
+    tgt = np.clip(nodes.repeat(4) + rng.randint(-2, 3, v * 4), 0, v - 1)
+    shuf = rng.permutation(v)
+    adj_b = [np.stack([shuf[src], shuf[tgt]], 1).astype(np.int32)]
+    nf = rng.randn(v, 6).astype(np.float32)
+    n2g = np.zeros((v,), np.int32)
+
+    reps = [partition_graph(nf, adj, n2g, 1, 4, num_graphs_padded=2)
+            for adj in (adj_a, adj_b)]
+    assert reps[0][0].node_restore is None
+    assert reps[1][0].node_restore is not None
+    with pytest.raises(ValueError, match="reorder=False"):
+        stack_partitioned_batches([b for b, _ in reps],
+                                  [l for _, l in reps])

@@ -42,7 +42,27 @@ def stack_partitioned_batches(
     batches: Sequence[GraphBatch], labels: Sequence[Dict[str, np.ndarray]]
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
     """Stack per-replica partitioned batches (each already carrying a leading
-    "nodes"-shard axis from partition_graph) on a new leading "data" axis."""
+    "nodes"-shard axis from partition_graph) on a new leading "data" axis.
+
+    Replicas must share their STATIC batch structure — halo wire form and
+    slab sizes, plan shapes, reorder outcome. Per-replica graph content can
+    make those diverge (e.g. ``reorder="auto"`` engaging on one replica
+    only, or ring slabs sized by each replica's boundary); pin the
+    partitioner's choices (``halo="dense"``/``"ring"``, ``reorder=False``)
+    or pad to shared budgets when feeding a hybrid mesh.
+    """
+    ref = jax.tree_util.tree_structure(batches[0])
+    for i, b in enumerate(batches[1:], start=1):
+        st = jax.tree_util.tree_structure(b)
+        if st != ref:
+            raise ValueError(
+                "stack_partitioned_batches: replica 0 and replica "
+                f"{i} have different STATIC batch structure (halo form / "
+                "ext slab sizes / plan shapes / reorder outcome differ). "
+                "Partition every replica with pinned choices — e.g. "
+                'halo="dense" or halo="ring", reorder=False — so the '
+                "stacked [replica, shard, ...] arrays are uniform."
+            )
     stacked_batch = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
     stacked_labels = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *labels)
     return stacked_batch, stacked_labels
