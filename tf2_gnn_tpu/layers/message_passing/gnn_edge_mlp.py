@@ -293,10 +293,12 @@ class GNN_Edge_MLP(MessagePassing):
         (gnn_edge_mlp.py:48-52). Same commuted-W2 factorisation as
         ``_fused_target_state_one_hidden`` but edge space never touches HBM:
         ``ops/pair_edge_mlp.py`` recomputes ``z = A[src] + B[tgt]`` inside
-        the block-pair kernels (relu mask in-register on both passes of the
-        backward), so the per-edge z gathers and the L type-masked scatters
-        of the scatter-plan form disappear. Requires MERGED-TARGET pair
-        plans (B's row space must be the kernel's output row space) and a
+        the block-pair kernels — the training forward emits the relu-mask
+        aggregate M alongside R (so dB is a plain ``M * g``) and the one
+        backward kernel (dA) recomputes the mask in-register — so the
+        per-edge z gathers and the L type-masked scatters of the
+        scatter-plan form disappear. Requires MERGED-TARGET pair plans
+        (B's row space must be the kernel's output row space) and a
         dual-residency VMEM budget for the dA pass; returns None otherwise.
         """
         if batch.pair_plans is None or not batch.pair_targets_merged:
