@@ -167,6 +167,24 @@ def main():
         }), flush=True)
         return
 
+    if mode == "qm9-dtype-ab":
+        # f32 vs bf16 KERNEL STREAMS at the QM9 configuration scale
+        # (8 layers, hidden 128, RMSProp, ~18-node molecules): the shipped
+        # QM9 config keeps f32 streams for pinned reference parity; this
+        # A/B is the learning-level evidence for flipping it (+7% step).
+        mae_f32 = run_qm9_shaped(epochs, "float32")
+        mae_bf16 = run_qm9_shaped(epochs, "bfloat16")
+        n = min(len(mae_f32), len(mae_bf16))
+        gap = max(abs(a - b) for a, b in zip(mae_f32[:n], mae_bf16[:n]))
+        print(json.dumps({
+            "task": "synthetic_molecule_regression_dtype_ab",
+            "f32_mae_trajectory": mae_f32,
+            "bf16_mae_trajectory": mae_bf16,
+            "max_mae_gap": round(gap, 5),
+            "epochs": epochs,
+        }), flush=True)
+        return
+
     if mode == "edge-mlp-ab":
         # A/B for the round-4 target-state 1-hidden pair kernel
         # (ops/pair_edge_mlp.py — the reference's DEFAULT GNN_Edge_MLP
@@ -200,6 +218,106 @@ def main():
         "final_valid_f1": f1s[-1] if f1s else None,
         "epochs": epochs,
     }), flush=True)
+
+class SyntheticMoleculeRegressionDataset(GraphDataset):
+    """QM9-shaped regression: ~18-node molecules whose Property is a 1-hop
+    structural statistic (mean over edges of f_src[0] * f_tgt[1]) —
+    learnable only through message passing. Used by the qm9-dtype-ab mode
+    to validate that bf16 kernel streams learn the same function as f32 at
+    the QM9 configuration scale."""
+
+    def __init__(self, params, num_graphs=600, seed=0):
+        super().__init__(params)
+        from tf2_gnn_tpu.data.graph_batch import pad_graph_label_array
+
+        self._pad_graph_label_array = pad_graph_label_array
+        rng = np.random.RandomState(seed)
+        self._folds = {DataFold.TRAIN: [], DataFold.VALIDATION: []}
+        for fold, count in ((DataFold.TRAIN, num_graphs),
+                            (DataFold.VALIDATION, max(num_graphs // 5, 2))):
+            for _ in range(count):
+                n = int(rng.randint(12, 24))
+                feats = rng.randn(n, 15).astype(np.float32)
+                raw = [np.stack([rng.randint(0, n, 2 * n),
+                                 rng.randint(0, n, 2 * n)], axis=1
+                                ).astype(np.int32)
+                       for _ in range(2)]
+                adjacency, indeg = process_adjacency_lists(
+                    raw, n, add_self_loop_edges=True,
+                    tied_fwd_bkwd_edge_types=set(),
+                )
+                prop = float(np.mean([
+                    feats[s, 0] * feats[t, 1]
+                    for e in raw for s, t in e
+                ]))
+                sample = GraphSample(adjacency, indeg, feats)
+                sample.target_value = prop
+                self._folds[fold].append(sample)
+
+    @property
+    def num_edge_types(self):
+        return 5  # self loops + 2 fwd + 2 bkwd
+
+    @property
+    def node_feature_shape(self):
+        return (15,)
+
+    def load_data(self, path, folds_to_load=None):
+        pass
+
+    def _graph_iterator(self, fold):
+        data = list(self._folds[fold])
+        if fold == DataFold.TRAIN:
+            np.random.shuffle(data)
+        return iter(data)
+
+    def _loaded_folds(self):
+        return list(self._folds.keys())
+
+    def _graphs_in_fold(self, fold):
+        return self._folds[fold]
+
+    def _batch_label_arrays(self, batch_graphs, config):
+        values = np.asarray([g.target_value for g in batch_graphs],
+                            dtype=np.float32)
+        return {"target_value": self._pad_graph_label_array(
+            values, config.num_graphs)}
+
+
+def run_qm9_shaped(epochs, edge_dtype):
+    """Valid-MAE trajectory of the QM9-shaped regression config at the
+    given kernel stream dtype (identical seeds/shuffles across calls)."""
+    from tf2_gnn_tpu.harness.training import build_training, train_loop
+    from tf2_gnn_tpu.models.graph_regression_task import GraphRegressionTask
+
+    np.random.seed(0)
+    ds = SyntheticMoleculeRegressionDataset(
+        {**GraphDataset.get_default_hyperparameters(),
+         "max_nodes_per_batch": 2048,
+         "use_pair_spmm": True},
+    )
+    params = GraphRegressionTask.get_default_hyperparameters("rgcn")
+    params.update({
+        "gnn_hidden_dim": 128,
+        "gnn_num_layers": 8,
+        "gnn_layer_input_dropout_rate": 0.0,
+        "gnn_edge_dtype": edge_dtype,
+        "optimizer": "RMSProp",
+        "learning_rate": 0.001,
+    })
+    model = GraphRegressionTask.from_params(params, ds)
+    batch, _ = next(ds.batch_iterator(DataFold.TRAIN))
+    state, train_step, eval_step = build_training(model, params, batch)
+
+    maes = []
+
+    def log(msg):
+        if "MAE" in msg and "Valid" in msg:
+            maes.append(float(msg.split("MAE =")[1].split("|")[0].strip().rstrip(".")))
+
+    train_loop(model, state, train_step, eval_step, ds, max_epochs=epochs,
+               patience=epochs + 1, log_fun=log)
+    return maes
 
 
 if __name__ == "__main__":
