@@ -69,6 +69,11 @@ timeout 2400 python benchmarks/convergence.py 8 edge-mlp-ab \
     > "$OUT/28_edge_mlp_ab.log" 2>&1
 tail -2 "$OUT/28_edge_mlp_ab.log"
 
+echo "== QM9-shaped stream-dtype learning A/B (f32 vs bf16) =="
+timeout 2400 python benchmarks/convergence.py 10 qm9-dtype-ab \
+    > "$OUT/29_qm9_dtype_ab.log" 2>&1
+tail -2 "$OUT/29_qm9_dtype_ab.log"
+
 echo "== RGAT flavour sweep (XLA vs fused) =="
 timeout 2400 python benchmarks/flavour_sweep.py rgat \
     > "$OUT/30_rgat_sweep.log" 2>&1
