@@ -202,3 +202,28 @@ def test_eval_batches_cached_across_epochs(jsonl_dir):
                            autospec=True, side_effect=finalise) as m:
         list(ds.batch_iterator(DataFold.VALIDATION))
         assert m.call_count > 0
+
+
+def test_set_padding_config_invalidates_batch_cache(jsonl_dir):
+    """Cached eval batches embed their padding config; pinning a new config
+    must drop them through the _invalidate_batches choke point (advisor
+    r4)."""
+    from tf2_gnn_tpu.data.graph_batch import PaddingConfig
+
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update({"num_fwd_edge_types": 1, "max_nodes_per_batch": 30})
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(jsonl_dir)
+    first = list(ds.batch_iterator(DataFold.VALIDATION))
+    assert DataFold.VALIDATION in ds._batch_cache
+
+    old = ds.padding_config
+    ds.set_padding_config(PaddingConfig(
+        num_nodes=old.num_nodes + 64,
+        num_graphs=old.num_graphs,
+        edge_budgets=old.edge_budgets,
+    ))
+    assert ds._batch_cache == {}
+    second = list(ds.batch_iterator(DataFold.VALIDATION))
+    assert second[0][0].node_features.shape[0] == old.num_nodes + 64
+    assert first[0][0].node_features.shape[0] == old.num_nodes

@@ -409,3 +409,18 @@ def test_streamed_kernel_matches_twin_on_tpu():
                                      v, num_types * v)
     np.testing.assert_allclose(np.asarray(dev_b), np.asarray(ref_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_concat_typed_plans_rejects_mismatched_groups():
+    """Per-type plans built under different grid groups misindex slots if
+    concatenated; the check must survive python -O (ValueError, not
+    assert — advisor r4)."""
+    rng = np.random.RandomState(11)
+    v = 256
+    srcs, tgts, counts = _random_edges(rng, 2, v)
+    mixed = (
+        _per_type_plans(srcs[:1], tgts[:1], counts[:1], v, group_fwd=8)[0],
+        _per_type_plans(srcs[1:], tgts[1:], counts[1:], v, group_fwd=16)[0],
+    )
+    with pytest.raises(ValueError, match="shared .group_fwd, group_bwd."):
+        ps.concat_typed_plans(mixed, v, v, normalize=False)

@@ -216,3 +216,33 @@ def test_partition_graph_reorder_permutes_node_labels():
         restore_node_order(np.asarray(sharded.node_features), sharded), nf)
     np.testing.assert_array_equal(
         restore_node_order(shard_labels["y"], sharded), labels["y"])
+
+
+def test_auto_reorder_engagement_warns_explicit_does_not():
+    """auto engagement permutes node order without the caller asking, so it
+    must emit ReorderEngaged naming restore_node_order; reorder=True is an
+    explicit request and stays silent (advisor r4)."""
+    import warnings
+
+    from tf2_gnn_tpu.parallel import partition_graph
+    from tf2_gnn_tpu.parallel.spmd import ReorderEngaged
+
+    rng = np.random.RandomState(7)
+    v = 256
+    nodes = np.arange(v)
+    src = np.clip(nodes.repeat(4) + rng.randint(-3, 4, v * 4), 0, v - 1)
+    tgt = np.clip(nodes.repeat(4) + rng.randint(-3, 4, v * 4), 0, v - 1)
+    shuf = rng.permutation(v)
+    adj = [np.stack([shuf[src], shuf[tgt]], 1).astype(np.int32)]
+    nf = rng.randn(v, 6).astype(np.float32)
+    n2g = np.zeros((v,), np.int32)
+
+    with pytest.warns(ReorderEngaged, match="restore_node_order"):
+        sharded, _ = partition_graph(nf, adj, n2g, 1, 8, num_graphs_padded=2)
+    assert sharded.node_restore is not None
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ReorderEngaged)
+        sharded, _ = partition_graph(nf, adj, n2g, 1, 8, num_graphs_padded=2,
+                                     reorder=True)
+    assert sharded.node_restore is not None

@@ -646,3 +646,24 @@ def test_hybrid_stack_rejects_mismatched_replicas_clearly():
     with pytest.raises(ValueError, match="reorder=False"):
         stack_partitioned_batches([b for b, _ in reps],
                                   [l for _, l in reps])
+
+
+def test_hybrid_stack_rejects_mismatched_leaf_shapes():
+    """Same pytree structure but diverging leaf SHAPES (replica graphs of
+    different size) must fail with the mismatching field path, not a
+    generic np.stack error (advisor r4)."""
+    from tf2_gnn_tpu.parallel import stack_partitioned_batches
+
+    rng = np.random.RandomState(4)
+    reps = []
+    v = 64
+    nodes = np.arange(v)
+    adj = [np.stack([nodes, nodes], 1).astype(np.int32)]
+    n2g = np.zeros((v,), np.int32)
+    for feat_dim in (6, 8):
+        nf = rng.randn(v, feat_dim).astype(np.float32)
+        reps.append(partition_graph(nf, adj, n2g, 1, 4, num_graphs_padded=2,
+                                    reorder=False))
+    with pytest.raises(ValueError, match="node_features"):
+        stack_partitioned_batches([b for b, _ in reps],
+                                  [l for _, l in reps])

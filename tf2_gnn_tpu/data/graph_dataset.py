@@ -232,6 +232,26 @@ class GraphDataset(ABC):
     def set_padding_config(self, config: PaddingConfig) -> None:
         """Pin an externally chosen config (e.g. restored from a checkpoint)."""
         self._padding_config = config
+        # Cached eval batches embed the padding config they were finalised
+        # with; a new config invalidates them.
+        self._invalidate_batches()
+
+    def _invalidate_batches(self, fold: Optional[DataFold] = None) -> None:
+        """Drop cached eval batches — the single invalidation choke point.
+
+        The built-in load paths (``load_data``, ``load_data_from_list``,
+        ``load_data_from_arrays``) and ``set_padding_config`` call this.
+        SUBCLASS CONTRACT: any code that mutates a fold's loaded samples
+        directly (or whose eval ``_graph_iterator`` is nondeterministic —
+        in which case set ``cache_eval_batches=False``) must call this too,
+        or ``batch_iterator`` keeps serving the first epoch's finalised
+        batches. The cache pins each eval fold's full finalised batch set
+        in host memory; disable via ``cache_eval_batches=False`` when that
+        footprint matters more than the ~5x repeat-eval-epoch speedup."""
+        if fold is None:
+            self._batch_cache.clear()
+        else:
+            self._batch_cache.pop(fold, None)
 
     def _derive_padding_config(self) -> PaddingConfig:
         node_budget = int(self._params["max_nodes_per_batch"])

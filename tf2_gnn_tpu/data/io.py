@@ -86,11 +86,24 @@ def make_staging_resolver(remote_root: PathLike,
                 or staged.stat().st_size != src_stat.st_size
                 or staged.stat().st_mtime < src_stat.st_mtime):
             import shutil
+            import tempfile
 
             staged.parent.mkdir(parents=True, exist_ok=True)
-            tmp = staged.with_suffix(staged.suffix + ".staging")
-            shutil.copy2(source, tmp)
-            tmp.replace(staged)  # atomic publish: readers never see partials
+            # Unique temp per stager: concurrent processes each copy into
+            # their own file, so the atomic replace below always publishes a
+            # COMPLETE copy (a shared fixed tmp name would interleave writes).
+            fd, tmp_name = tempfile.mkstemp(
+                prefix=staged.name + ".", suffix=".staging",
+                dir=staged.parent)
+            import os as _os
+
+            _os.close(fd)
+            tmp = Path(tmp_name)
+            try:
+                shutil.copy2(source, tmp)
+                tmp.replace(staged)  # atomic publish: never a partial
+            finally:
+                tmp.unlink(missing_ok=True)
         return staged
 
     return resolver

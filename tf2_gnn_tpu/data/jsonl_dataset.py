@@ -81,7 +81,7 @@ class JsonLGraphDataset(GraphDataset):
                 self._process_raw_datapoint(dp)
                 for dp in read_by_file_suffix(path / FOLD_FILE_NAMES[fold])
             ]
-            self._batch_cache.pop(fold, None)
+            self._invalidate_batches(fold)
 
     def load_data_from_list(
         self, datapoints: List[Dict[str, Any]], target_fold: DataFold = DataFold.TEST
@@ -89,7 +89,7 @@ class JsonLGraphDataset(GraphDataset):
         self._loaded_data.setdefault(target_fold, []).extend(
             self._process_raw_datapoint(dp) for dp in datapoints
         )
-        self._batch_cache.pop(target_fold, None)
+        self._invalidate_batches(target_fold)
 
     def _process_raw_datapoint(self, datapoint: Dict[str, Any]) -> GraphSample:
         node_features = np.asarray(datapoint["graph"]["node_features"], dtype=np.float32)

@@ -82,7 +82,7 @@ class PPIDataset(GraphDataset):
             folds_to_load = {DataFold.TRAIN, DataFold.VALIDATION, DataFold.TEST}
         for fold in folds_to_load:
             self._loaded_data[fold] = self._load_fold(path, fold)
-            self._batch_cache.pop(fold, None)
+            self._invalidate_batches(fold)
 
     def _load_fold(self, data_dir: Path, fold: DataFold) -> List[PPIGraphSample]:
         name = _FOLD_NAMES[fold]

@@ -81,7 +81,7 @@ class QM9Dataset(GraphDataset):
         for fold in folds_to_load:
             raw = read_by_file_suffix(path / FOLD_FILE_NAMES[fold])
             self._loaded_data[fold] = [self._process_raw_graph(d) for d in raw]
-            self._batch_cache.pop(fold, None)
+            self._invalidate_batches(fold)
 
     def _process_raw_graph(self, datapoint: Dict[str, Any]) -> QM9GraphSample:
         node_features = np.asarray(datapoint["node_features"], dtype=np.float32)

@@ -1008,8 +1008,16 @@ def concat_typed_plans(plans_typed, v_src: int, v_out: int,
     num_types = len(plans_typed)
     gf = plan_group(plans_typed[0][2], plans_typed[0][3])
     gb = plan_group(plans_typed[0][6], plans_typed[0][7])
-    for p in plans_typed[1:]:
-        assert plan_group(p[2], p[3]) == gf and plan_group(p[6], p[7]) == gb
+    for ty, p in enumerate(plans_typed[1:], start=1):
+        got = (plan_group(p[2], p[3]), plan_group(p[6], p[7]))
+        if got != (gf, gb):
+            # Not an assert: under python -O mismatched groups would
+            # silently misindex slots (advisor r4).
+            raise ValueError(
+                f"concat_typed_plans: type {ty} plan groups {got} differ "
+                f"from type 0's ({gf}, {gb}); build every per-type plan "
+                "with one shared (group_fwd, group_bwd) config."
+            )
 
     def cat(i):
         return jnp.concatenate([jnp.asarray(p[i]) for p in plans_typed])

@@ -51,14 +51,32 @@ def stack_partitioned_batches(
     partitioner's choices (``halo="dense"``/``"ring"``, ``reorder=False``)
     or pad to shared budgets when feeding a hybrid mesh.
     """
-    ref = jax.tree_util.tree_structure(batches[0])
+    def _leaf_sig(b):
+        # treedefs don't encode leaf shapes/dtypes, so compare those too —
+        # diverging ext slab or plan shapes must fail HERE with the field
+        # path, not later inside np.stack (advisor r4).
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(b)
+        return treedef, [(jax.tree_util.keystr(path), np.shape(leaf),
+                          np.asarray(leaf).dtype)
+                         for path, leaf in leaves]
+
+    ref_treedef, ref_leaves = _leaf_sig(batches[0])
     for i, b in enumerate(batches[1:], start=1):
-        st = jax.tree_util.tree_structure(b)
-        if st != ref:
+        treedef, leaves = _leaf_sig(b)
+        mismatch = None
+        if treedef != ref_treedef:
+            mismatch = "tree structure (halo form / plan presence)"
+        else:
+            for (path, shape, dtype), (_, rshape, rdtype) in zip(
+                    leaves, ref_leaves):
+                if shape != rshape or dtype != rdtype:
+                    mismatch = (f"leaf {path}: {shape}/{dtype} vs replica "
+                                f"0's {rshape}/{rdtype}")
+                    break
+        if mismatch is not None:
             raise ValueError(
                 "stack_partitioned_batches: replica 0 and replica "
-                f"{i} have different STATIC batch structure (halo form / "
-                "ext slab sizes / plan shapes / reorder outcome differ). "
+                f"{i} have different STATIC batch structure — {mismatch}. "
                 "Partition every replica with pinned choices — e.g. "
                 'halo="dense" or halo="ring", reorder=False — so the '
                 "stacked [replica, shard, ...] arrays are uniform."

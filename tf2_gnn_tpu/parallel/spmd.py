@@ -19,6 +19,7 @@ through its local terms (all_gather transposes to reduce-scatter), and a
 final psum yields the exact full gradient on every shard.
 """
 import math
+import warnings
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -30,6 +31,11 @@ from ..data.graph_batch import GraphBatch
 from ..harness.training import TrainState
 from ..utils.shapes import round_up as _round_up
 from .data_parallel import _squeeze_leading
+
+
+class ReorderEngaged(UserWarning):
+    """partition_graph(reorder='auto') permuted the node order (see the
+    ``reorder`` doc — route per-node outputs through restore_node_order)."""
 
 
 def partition_graph(
@@ -78,7 +84,10 @@ def partition_graph(
     node_to_graph are permuted consistently (losses and graph-level metrics
     are unaffected) and the returned batch carries ``node_restore`` — feed
     per-node OUTPUTS through ``restore_node_order(out, batch)`` to get them
-    back in the caller's original node order.
+    back in the caller's original node order. Because ``"auto"`` can engage
+    without the caller asking, its engagement emits a ``ReorderEngaged``
+    warning naming ``restore_node_order``; pass ``reorder=True`` (you know
+    you restore) or ``reorder=False`` to silence it.
     """
     num_nodes = node_features.shape[0]
     if build_pair_plans and not halo:
@@ -113,6 +122,21 @@ def partition_graph(
         else:
             apply_it = True
         if apply_it:
+            if reorder == "auto":
+                # The caller did not explicitly ask for a permuted node
+                # order, so make the engagement impossible to miss
+                # (advisor r4): per-node outputs/labels come back in RCM
+                # order until restored.
+                warnings.warn(
+                    "partition_graph(reorder='auto') engaged RCM node "
+                    "reordering (it shrinks the halo boundary for this "
+                    "graph). Per-node outputs and returned node labels are "
+                    "in the REORDERED layout; pass them through "
+                    "restore_node_order(out, batch) to recover the input "
+                    "node order. Silence with reorder=True (intentional) "
+                    "or reorder=False (disable).",
+                    ReorderEngaged, stacklevel=2,
+                )
             (node_features, adjacency_lists, node_to_graph,
              node_labels) = apply_node_permutation(
                 perm, node_features, adjacency_lists, node_to_graph,
