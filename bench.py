@@ -187,13 +187,27 @@ def build_qm9_batch(seed: int):
     return batch, labels, mols
 
 
+# Ambient host/tunnel load historically swings a single differenced
+# measurement by up to ~13% (BENCH_r03 vs r04 QM9); the bench therefore
+# repeats every family's measurement and reports the median, with the
+# min..max spread recorded so a recorded delta can be told apart from
+# noise. On a quiet host the half-range stays within this tolerance;
+# the JSON carries "noisy": true when it doesn't, which means the VALUE
+# cannot distinguish a regression smaller than the spread.
+MEASURE_REPS = 5
+SPREAD_TOLERANCE_PCT = 3.0
+
+
 def _timed_steps(train_step, state, batch, labels,
-                 base_steps: int = 8, full_steps: int = 24):
+                 base_steps: int = 8, full_steps: int = 24,
+                 reps: int = MEASURE_REPS):
     """Differenced host-forced step timing shared by every bench metric:
     warm up, then time two run lengths and difference them (the final host
     transfer forces completion; block_until_ready returns early through the
-    axon tunnel, and differencing cancels that fixed cost). Returns seconds
-    per step."""
+    axon tunnel, and differencing cancels that fixed cost). The differenced
+    measurement is repeated ``reps`` times (one warmup/compile); returns a
+    sorted list of seconds-per-step samples — callers take the median and
+    report the spread."""
     import jax
 
     def run(n, state):
@@ -208,9 +222,19 @@ def _timed_steps(train_step, state, batch, labels,
         return time.perf_counter() - t0, state
 
     _, state = run(WARMUP_STEPS, state)
-    t_base, state = run(base_steps, state)
-    t_full, state = run(full_steps, state)
-    return (t_full - t_base) / (full_steps - base_steps)
+    samples = []
+    for _ in range(reps):
+        t_base, state = run(base_steps, state)
+        t_full, state = run(full_steps, state)
+        samples.append((t_full - t_base) / (full_steps - base_steps))
+    return sorted(samples)
+
+
+def _median_and_spread(samples):
+    """(median, half-range as % of median) of seconds-per-step samples."""
+    med = float(np.median(samples))
+    half_range_pct = 100.0 * (samples[-1] - samples[0]) / 2.0 / med
+    return med, half_range_pct
 
 
 def main():
@@ -259,9 +283,11 @@ def main():
         # compute).
         device_b = [jax.device_put(b) for b, _, _ in batches]
         device_l = [jax.device_put(l) for _, l, _ in batches]
-        per_step = _timed_steps(train_step, state, device_b, device_l,
-                                TIMED_STEPS_BASE, TIMED_STEPS_FULL)
-        return edges_per_step / per_step, GRAPHS_PER_BATCH / per_step
+        samples = _timed_steps(train_step, state, device_b, device_l,
+                               TIMED_STEPS_BASE, TIMED_STEPS_FULL)
+        per_step, spread_pct = _median_and_spread(samples)
+        return (edges_per_step / per_step, GRAPHS_PER_BATCH / per_step,
+                spread_pct)
 
     def measure_rgat():
         """RGAT edges/s on the same PPI-shaped batch (pair-attention path,
@@ -282,7 +308,9 @@ def main():
         optimizer = make_optimizer(params)
         state = create_train_state(model, batch, optimizer, seed=0)
         train_step = make_train_step(model, optimizer)
-        return edges / _timed_steps(train_step, state, batch, labels)
+        per_step, spread_pct = _median_and_spread(
+            _timed_steps(train_step, state, batch, labels))
+        return edges / per_step, spread_pct
 
     def measure_qm9():
         """QM9 molecules/s on the shipped QM9_RGCN config (8 layers, hidden
@@ -304,7 +332,9 @@ def main():
         optimizer = make_optimizer(params)
         state = create_train_state(model, batch, optimizer, seed=0)
         train_step = make_train_step(model, optimizer)
-        return mols / _timed_steps(train_step, state, batch, labels)
+        per_step, spread_pct = _median_and_spread(
+            _timed_steps(train_step, state, batch, labels))
+        return mols / per_step, spread_pct
 
     # Fastest path first; a Mosaic/compile failure in a newer kernel family
     # falls back so the driver always records a number (the failure is
@@ -316,9 +346,11 @@ def main():
                  ("xla", False, False)]
     edges_per_s = graphs_per_s = None
     path_used = None
+    headline_spread = None
     for name, use_pairs, use_pallas in paths:
         try:
-            edges_per_s, graphs_per_s = measure(use_pairs, use_pallas)
+            edges_per_s, graphs_per_s, headline_spread = measure(
+                use_pairs, use_pallas)
             path_used = name
             break
         except Exception as exc:  # pragma: no cover - device-only fallback
@@ -337,7 +369,9 @@ def main():
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     start = time.perf_counter()
-    extra = {}
+    extra = {"rgcn_spread_pct": round(headline_spread, 2),
+             "measure_reps": MEASURE_REPS,
+             "spread_tolerance_pct": SPREAD_TOLERANCE_PCT}
     if "--headline-only" not in sys.argv:
         for key, fn in (("rgat_edges_per_s", measure_rgat),
                         ("qm9_molecules_per_s", measure_qm9)):
@@ -347,11 +381,17 @@ def main():
                 extra[key] = None
                 continue
             try:
-                extra[key] = round(fn(), 1)
+                value, spread_pct = fn()
+                extra[key] = round(value, 1)
+                extra[key.split("_")[0] + "_spread_pct"] = round(spread_pct, 2)
             except Exception as exc:  # pragma: no cover - device-only
                 print(f"bench extra '{key}' failed ({type(exc).__name__}: "
                       f"{exc})", file=sys.stderr)
                 extra[key] = None
+
+    spreads = [v for k, v in extra.items()
+               if k.endswith("_spread_pct") and v is not None]
+    noisy = bool(spreads) and max(spreads) > SPREAD_TOLERANCE_PCT
 
     print(
         json.dumps(
@@ -361,6 +401,12 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(graphs_per_s / BASELINE_GRAPHS_PER_S, 2),
                 "path": path_used,
+                # Every value is the MEDIAN of MEASURE_REPS differenced
+                # measurements; *_spread_pct is each family's half-range as
+                # a percent of its median. "noisy" means some family's
+                # spread exceeded SPREAD_TOLERANCE_PCT — deltas vs earlier
+                # rounds smaller than that spread are ambient, not code.
+                "noisy": noisy,
                 **({"extra": extra} if extra else {}),
             }
         )
