@@ -21,6 +21,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 import jax  # noqa: E402
+
+# Parity trajectories are defined as deterministic CPU runs. The image's
+# sitecustomize imports jax at interpreter startup (before any env var this
+# process sets can matter), but backends initialise lazily — pinning the
+# platform here still wins (same trick as tests/conftest.py). Set
+# PARITY_DEVICE=axon to deliberately run on the chip.
+jax.config.update("jax_platforms", os.environ.get("PARITY_DEVICE", "cpu"))
+
 import numpy as np  # noqa: E402
 
 from tf2_gnn_tpu.data.graph_dataset import DataFold  # noqa: E402
