@@ -432,8 +432,15 @@ class GNN_Edge_MLP(MessagePassing):
         # the pre-exchanged ext states.
         return not self.use_target_state_as_input
 
-    def _fused_node_space_tables(self, node_states, batch: GraphBatch):
+    def _fused_node_space_tables(self, node_states, batch: GraphBatch,
+                                 pad_to: int = None):
         """The per-type message MLP run densely in node space -> [L*V, H].
+
+        ``pad_to`` zero-pads the LAST linear's output columns inside its
+        own matmul (TypedLinear.pad_out_to) so tables come out already
+        feature-TILE-aligned for the pair kernels — the explicit jnp.pad of
+        a [L*V, H] table costs a full HBM round trip per layer. Callers
+        that pass it must slice the kernel's aggregate back to H.
 
         Under SPMD-halo with LOCAL input (num_nodes_padded rows), the
         boundary rows are exchanged RAW and transformed separately: the
@@ -447,9 +454,11 @@ class GNN_Edge_MLP(MessagePassing):
         layer_sizes = self._edge_mlp_layer_sizes()
         num_hidden = self.num_edge_MLP_hidden_layers
         dims = [node_states.shape[-1]] + [int(s) for s in layer_sizes[:-1]]
+        last = len(layer_sizes) - 1
         mlp = [
             TypedLinear(num_types, dims[i], size, name=f"edge_mlp_layer_{i}",
-                        compute_dtype=self.dense_dtype)
+                        compute_dtype=self.dense_dtype,
+                        pad_out_to=pad_to if i == last else None)
             for i, size in enumerate(layer_sizes)
         ]
 
@@ -512,9 +521,19 @@ class GNN_Edge_MLP(MessagePassing):
             )
             if not use_pair and batch.scatter_plans is None:
                 return None
-            tables = self._fused_node_space_tables(node_states, batch)
+            from ...ops.pair_spmm import TILE
+
+            h_out = int(self._edge_mlp_layer_sizes()[-1])
+            pad_to = (h_out + (-h_out % TILE)
+                      if use_pair and h_out % TILE else None)
+            tables = self._fused_node_space_tables(node_states, batch,
+                                                   pad_to=pad_to)
             if use_pair:
-                return self._pair_sum_aggregate(tables, batch)
+                out = self._pair_sum_aggregate(tables, batch)
+                # The TILE-padded zero columns ride through the kernel as
+                # zeros; drop them here (the slice fuses into the
+                # activation/residual consumers).
+                return out[:, :h_out] if pad_to else out
             plan = PlanView(batch.scatter_plans)
             tables = self._globalize_tables(tables, batch, num_types)
             if self.normalize_by_num_incoming:

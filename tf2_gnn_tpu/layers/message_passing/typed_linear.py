@@ -35,6 +35,14 @@ class TypedLinear(nn.Module):
     in_size: int
     out_size: int
     compute_dtype: str = "float32"
+    # Zero-pad the OUTPUT dim to this many columns at apply time (parameter
+    # shape unchanged). Table builds feeding the Pallas pair kernels use it
+    # to emit feature-TILE-aligned tables straight out of the matmul: the
+    # MXU computes the zero columns for free, where an explicit jnp.pad of
+    # the [L*V, H] table costs a full HBM round trip per layer (the
+    # round-4 bisection's single largest unaccounted term — ~146 us/layer
+    # in XLA's own cost model at the PPI bench shape).
+    pad_out_to: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_type: Optional[int] = None) -> jnp.ndarray:
@@ -43,6 +51,10 @@ class TypedLinear(nn.Module):
             nn.initializers.glorot_uniform(batch_axis=(0,)),
             (self.num_types, self.in_size, self.out_size),
         )
+        if self.pad_out_to is not None and self.pad_out_to > self.out_size:
+            kernel = jnp.pad(
+                kernel, ((0, 0), (0, 0), (0, self.pad_out_to - self.out_size))
+            )
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             x = x.astype(dt)
