@@ -74,6 +74,27 @@ def main():
         "ms_per_batch": round(host_epoch_s / host_batches * 1e3, 1),
     }), flush=True)
 
+    # Same epoch with cache_train_batches (round 5, opt-in): the first
+    # epoch pays packing + planning once, repeats replay the cache —
+    # host cost goes to ~0 at the price of a frozen shuffle order.
+    dataset._params["cache_train_batches"] = True
+    t0 = time.perf_counter()
+    n1 = sum(1 for _ in dataset.batch_iterator(DataFold.TRAIN))
+    cached_first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = sum(1 for _ in dataset.batch_iterator(DataFold.TRAIN))
+    cached_repeat_s = time.perf_counter() - t0
+    assert n1 == n2
+    print(json.dumps({
+        "phase": "host_only_train_epoch_cached",
+        "batches": n1,
+        "first_pass_s": round(cached_first_s, 3),
+        "repeat_pass_s": round(cached_repeat_s, 4),
+        "repeat_ms_per_batch": round(cached_repeat_s / n1 * 1e3, 2),
+    }), flush=True)
+    dataset._params["cache_train_batches"] = False
+    dataset._invalidate_batches(DataFold.TRAIN)
+
     # H2D transfer cost of ONE packed batch. On this dev setup the chip
     # sits behind a network tunnel, so this is the pipeline's wire cost —
     # a production host pays PCIe DMA instead (orders of magnitude less).

@@ -227,3 +227,28 @@ def test_set_padding_config_invalidates_batch_cache(jsonl_dir):
     second = list(ds.batch_iterator(DataFold.VALIDATION))
     assert second[0][0].node_features.shape[0] == old.num_nodes + 64
     assert first[0][0].node_features.shape[0] == old.num_nodes
+
+
+def test_cache_train_batches_opt_in(jsonl_dir):
+    """cache_train_batches replays the first train epoch's finalised
+    batches (host packing/planning runs once — frozen shuffle order,
+    documented deviation); the default keeps re-packing every epoch."""
+    from unittest import mock
+
+    params = JsonLGraphPropertyDataset.get_default_hyperparameters()
+    params.update({"num_fwd_edge_types": 1, "max_nodes_per_batch": 30,
+                   "cache_train_batches": True})
+    ds = JsonLGraphPropertyDataset(params)
+    ds.load_data(jsonl_dir)
+
+    finalise = type(ds)._finalise_batch
+    with mock.patch.object(type(ds), "_finalise_batch",
+                           autospec=True, side_effect=finalise) as m:
+        first = list(ds.batch_iterator(DataFold.TRAIN))
+        packs = m.call_count
+        assert packs == len(first) > 0
+        second = list(ds.batch_iterator(DataFold.TRAIN))
+        assert m.call_count == packs  # replayed
+    for (b1, _), (b2, _) in zip(first, second):
+        np.testing.assert_array_equal(np.asarray(b1.node_features),
+                                      np.asarray(b2.node_features))

@@ -119,6 +119,20 @@ class GraphDataset(ABC):
         # every epoch; cache them after the first pass. TRAIN reshuffles
         # each epoch and is never cached.
         self._params.setdefault("cache_eval_batches", True)
+        # Opt-in: replay the FIRST train epoch's finalised batches every
+        # epoch. This removes the per-epoch host packing + plan-building
+        # cost entirely (23-30 ms/batch on a 1-core host) at a SEMANTIC
+        # cost: the first epoch's shuffle order is frozen, so the model
+        # sees the same batch compositions every epoch — a deliberate
+        # deviation from the reference's per-epoch reshuffle
+        # (tf2_gnn/data/graph_dataset.py:161-190). Right for deployments
+        # whose host cores, not the chip, bound epoch time; keep the
+        # default (False) when matching reference training dynamics.
+        # Per-graph plan-FRAGMENT caching under reshuffling was analysed
+        # and rejected: block-pair structure depends on each graph's
+        # absolute node offset modulo the 128-row block, which reshuffled
+        # packing changes every epoch (PERFORMANCE.md round 5).
+        self._params.setdefault("cache_train_batches", False)
         self._metadata = metadata if metadata is not None else {}
         self._use_worker_threads = use_worker_threads
         self._padding_config: Optional[PaddingConfig] = None
@@ -501,11 +515,15 @@ class GraphDataset(ABC):
         Non-TRAIN folds replay their first epoch's finalised batches from
         an in-memory cache (``cache_eval_batches``, default on): their
         iteration order is fixed, so re-packing and re-planning identical
-        batches every eval epoch is pure host waste.
+        batches every eval epoch is pure host waste. TRAIN folds do the
+        same only under the opt-in ``cache_train_batches`` (freezes the
+        first epoch's shuffle order — see the __init__ note).
         """
         config = self.padding_config
-        cacheable = (data_fold != DataFold.TRAIN
-                     and bool(self._params.get("cache_eval_batches")))
+        if data_fold == DataFold.TRAIN:
+            cacheable = bool(self._params.get("cache_train_batches"))
+        else:
+            cacheable = bool(self._params.get("cache_eval_batches"))
         if cacheable and data_fold in self._batch_cache:
             return iter(self._batch_cache[data_fold])
 
