@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import bench  # noqa: E402
 
 
-def run(path: str) -> dict:
+def run(path: str, num_hidden: int = 1) -> dict:
     import jax
 
     from tf2_gnn_tpu.harness.optimizers import make_optimizer
@@ -30,7 +30,10 @@ def run(path: str) -> dict:
             "gnn_hidden_dim": 320,
             "gnn_num_layers": 4,
             "learning_rate": 0.001,
-            "gnn_num_edge_MLP_hidden_layers": 1,  # the reference default
+            # 1 = the reference default; 2+ = the deep form (an MLP of a
+            # concat neither factorises nor commutes past its inner relus,
+            # so it keeps the per-edge XLA path — this probe BOUNDS that).
+            "gnn_num_edge_MLP_hidden_layers": num_hidden,
             "gnn_edge_dtype": "bfloat16",
         }
     )
@@ -67,7 +70,8 @@ def run(path: str) -> dict:
         t2, state = loop(24, state)
     per_step = (t2 - t1) / 16
     return {
-        "config": "edge_mlp target-state 1-hidden (reference default)",
+        "config": f"edge_mlp target-state {num_hidden}-hidden"
+                  + (" (reference default)" if num_hidden == 1 else ""),
         "path": path,
         "step_ms": round(per_step * 1e3, 2),
         "edges_per_s": round(edges / per_step, 1),
@@ -77,7 +81,13 @@ def run(path: str) -> dict:
 def main():
     paths = sys.argv[1:] or ["xla", "scatter", "pair"]
     for p in paths:
-        print(json.dumps(run(p)), flush=True)
+        if p.startswith("deep"):
+            # "deep" / "deep3": the >= 2-hidden form on its shipped
+            # routing (per-edge XLA; scatter plans absent -> plain path).
+            nh = int(p[4:] or 2)
+            print(json.dumps(run("xla", num_hidden=nh)), flush=True)
+        else:
+            print(json.dumps(run(p)), flush=True)
 
 
 if __name__ == "__main__":

@@ -11,10 +11,17 @@ fed with MEASURED inputs rather than a measured multi-chip run:
   (PERFORMANCE.md headline), scaled by the local edge share;
 * ICI time assumes each shard sends/receives its halo rows once per MP
   layer (forward) and once transposed (backward) at ``--ici-gbps`` per
-  direction (default 45 GB/s, a v5e ICI link), fully serialised against
-  compute (NO overlap credit — the projection is a lower bound; XLA's
-  async collectives overlap the exchange with the independent target-side
-  node-space matmuls).
+  direction (default 45 GB/s, a v5e ICI link);
+* each row carries TWO efficiencies: ``projected_efficiency`` serialises
+  the exchange fully against compute (the lower bound), and
+  ``projected_efficiency_overlap`` credits the overlap the implementation
+  actually performs — the collective's input is the RAW node states, so
+  XLA schedules it concurrently with the independent node-space transform
+  (``gnn_edge_mlp.py::_fused_node_space_tables``); the credit hides up to
+  ``--overlap-window-ms`` of exchange per layer (default 0.12 ms — the
+  MEASURED single-chip forward transform matmul from the round-4
+  layer bisection, itself a lower bound on the true window since the
+  backward's larger dW/dX matmuls overlap the transposed exchange too).
 
 Prints one JSON line per (graph kind, shard count).
 
@@ -106,6 +113,14 @@ def model_one(kind, v, adjacency, s, compute_s, args, reorder=False):
     # Optimizer psum per STEP, amortised per layer.
     psum_s = 2 * args.param_bytes / (args.ici_gbps * 1e9) / args.layers
     eff = compute_s / (compute_s + layer_exchange_s + psum_s)
+    # Overlap credit: the per-shard transform window scales with the
+    # per-shard work exactly as compute_s does (compute_s already carries
+    # the 1/s strong-scaling factor or the constant weak-scaling share).
+    window_s = (args.overlap_window_ms / 1e3) * (
+        compute_s / ((args.step_ms / 1e3) / args.layers))
+    hidden_s = min(layer_exchange_s, window_s)
+    eff_overlap = compute_s / (
+        compute_s + layer_exchange_s - hidden_s + psum_s)
     row = {
         "graph": kind,
         "shards": s,
@@ -116,6 +131,7 @@ def model_one(kind, v, adjacency, s, compute_s, args, reorder=False):
         "compute_ms_per_layer": round(compute_s * 1e3, 3),
         "exchange_ms_per_layer": round(layer_exchange_s * 1e3, 3),
         "projected_efficiency": round(eff, 3),
+        "projected_efficiency_overlap": round(eff_overlap, 3),
     }
     print(json.dumps(row), flush=True)
     return row
@@ -151,6 +167,10 @@ def main():
     parser.add_argument("--param-bytes", type=int, default=4 * 1_700_000,
                         help="Gradient bytes all-reduced per step (PPI RGCN "
                              "~1.7M params f32).")
+    parser.add_argument("--overlap-window-ms", type=float, default=0.12,
+                        help="Single-chip per-layer transform time the halo "
+                             "exchange can hide behind (measured, round-4 "
+                             "bisection; a lower bound on the true window).")
     parser.add_argument("--shards", type=int, nargs="+",
                         default=[2, 4, 8, 16])
     args = parser.parse_args()
