@@ -60,7 +60,8 @@ def build_raw_arrays(seed: int):
 
 
 def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
-                pair_merge_targets: bool = False):
+                pair_merge_targets: bool = False,
+                pair_per_type: bool = False):
     from tf2_gnn_tpu.data.graph_batch import (
         PaddingConfig,
         pad_batch_arrays,
@@ -106,20 +107,36 @@ def build_batch(seed: int, use_pallas: bool = True, use_pairs: bool = False,
         srcs = [np.asarray(s_) for s_ in batch.edge_sources]
         tgts = [np.asarray(t_) for t_ in batch.edge_targets]
         cnts = [int(c) for c in np.asarray(batch.num_edges)]
-        # Adaptive grid groups, exactly as the dataset path chooses them
-        # (graph_dataset.py): merged-target plans fragment output runs
-        # (L*V target blocks), where GROUP-8 measures 3256 fwd chunks vs
-        # GROUP-16's 4624 at this shape; the joint plans keep 16/8.
-        gf, gb = choose_pair_groups(srcs, tgts, cnts, NODE_BUDGET,
-                                    merge_targets=pair_merge_targets)
-        pairs = build_pair_plans(
-            srcs, tgts, cnts, NODE_BUDGET,
-            overflow_budget=256,
-            merge_targets=pair_merge_targets,
-            group_fwd=gf, group_bwd=gb,
-        )
-        batch = batch.replace(pair_plans=pairs.astuple(),
-                              pair_targets_merged=pair_merge_targets)
+        if pair_per_type:
+            # The shipped PPI_RGCN form since round 5: per-type row-split
+            # plans ride the SINGLE-LAUNCH streamed kernel whose resident
+            # slice is one type's [V, H] — small enough for a full-width
+            # single sweep (5.21 vs 6.51 ms/step at this shape; groups
+            # chosen from type 0 exactly as the dataset path does).
+            gf, gb = choose_pair_groups([srcs[0]], [tgts[0]], [cnts[0]],
+                                        NODE_BUDGET)
+            typed = tuple(
+                build_pair_plans([srcs[t]], [tgts[t]], [cnts[t]],
+                                 NODE_BUDGET, group_fwd=gf,
+                                 group_bwd=gb).astuple()
+                for t in range(len(srcs))
+            )
+            batch = batch.replace(pair_plans_typed=typed)
+        else:
+            # Adaptive grid groups, exactly as the dataset path chooses
+            # them (graph_dataset.py): merged-target plans fragment output
+            # runs (L*V target blocks), where GROUP-8 measures 3256 fwd
+            # chunks vs GROUP-16's 4624 at this shape; joint plans 16/8.
+            gf, gb = choose_pair_groups(srcs, tgts, cnts, NODE_BUDGET,
+                                        merge_targets=pair_merge_targets)
+            pairs = build_pair_plans(
+                srcs, tgts, cnts, NODE_BUDGET,
+                overflow_budget=256,
+                merge_targets=pair_merge_targets,
+                group_fwd=gf, group_bwd=gb,
+            )
+            batch = batch.replace(pair_plans=pairs.astuple(),
+                                  pair_targets_merged=pair_merge_targets)
     labels = {
         "node_labels": pad_node_label_array(
             (rng.rand(v, NUM_LABELS) > 0.9).astype(np.float32), NODE_BUDGET
@@ -253,7 +270,8 @@ def main():
     # gather-free block-pair kernel in bfloat16 (ops/pair_spmm.py), matching
     # the shipped config's use_pair_spmm/edge_dtype settings; pass --no-pairs
     # to time the sorted gather+scatter path instead.
-    def measure(use_pairs: bool, use_pallas: bool):
+    def measure(use_pairs: bool, use_pallas: bool,
+                pair_per_type: bool = False):
         params = NodeMulticlassTask.get_default_hyperparameters("rgcn")
         params.update(
             {
@@ -272,7 +290,9 @@ def main():
         model = NodeMulticlassTask.from_params(params)
 
         batches = [build_batch(seed, use_pallas=use_pallas,
-                               use_pairs=use_pairs) for seed in range(2)]
+                               use_pairs=use_pairs,
+                               pair_per_type=pair_per_type)
+                   for seed in range(2)]
         edges_per_step = batches[0][2]
 
         optimizer = make_optimizer(params)
@@ -340,17 +360,22 @@ def main():
     # falls back so the driver always records a number (the failure is
     # reported on stderr for the runbook to chase).
     if "--no-pairs" in sys.argv:
-        paths = [("sorted", False, True)]
+        paths = [("sorted", False, True, False)]
     else:
-        paths = [("pairs", True, False), ("sorted", False, True),
-                 ("xla", False, False)]
+        # Fastest first: per-type streamed plans (the shipped PPI_RGCN
+        # config since round 5), then merged plans, then the sorted
+        # scatter, then plain XLA.
+        paths = [("pairs-typed", True, False, True),
+                 ("pairs", True, False, False),
+                 ("sorted", False, True, False),
+                 ("xla", False, False, False)]
     edges_per_s = graphs_per_s = None
     path_used = None
     headline_spread = None
-    for name, use_pairs, use_pallas in paths:
+    for name, use_pairs, use_pallas, per_type in paths:
         try:
             edges_per_s, graphs_per_s, headline_spread = measure(
-                use_pairs, use_pallas)
+                use_pairs, use_pallas, pair_per_type=per_type)
             path_used = name
             break
         except Exception as exc:  # pragma: no cover - device-only fallback

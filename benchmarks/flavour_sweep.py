@@ -25,9 +25,11 @@ import bench  # noqa: E402
 # (ops/pair_attention.py) on NON-merged plans. Scatter plans are always
 # built as the fused fallback.
 FUSED_BATCH_KWARGS = {
-    "rgcn": {"use_pallas": True, "use_pairs": True},
-    "ggnn": {"use_pallas": True, "use_pairs": True},
-    "rgin": {"use_pallas": True, "use_pairs": True},
+    # Joint-sum flavours ride the per-type streamed plans since round 5
+    # (full-width single-sweep resident slice — see PERFORMANCE.md r5).
+    "rgcn": {"use_pallas": True, "use_pairs": True, "pair_per_type": True},
+    "ggnn": {"use_pallas": True, "use_pairs": True, "pair_per_type": True},
+    "rgin": {"use_pallas": True, "use_pairs": True, "pair_per_type": True},
     "gnn_edge_mlp": {"use_pallas": True, "use_pairs": True,
                      "pair_merge_targets": True},
     "gnn_film": {"use_pallas": True, "use_pairs": True,

@@ -88,7 +88,33 @@ def test_ppi_bench_shape_rides_pair_path(ppi_pair_batch):
     layer = mp_layer_from_task_params(NodeMulticlassTask, "rgcn",
                                       PPI_RGCN_OVERRIDES)
     assert layer.edge_dtype == "bfloat16"  # the shipped stream dtype
-    _assert_rides_pair_path(layer, batch, "shipped PPI_RGCN bench shape")
+    _assert_rides_pair_path(layer, batch, "merged-plan PPI bench shape")
+
+
+def test_ppi_typed_bench_shape_rides_stream_path():
+    """The round-5 shipped PPI_RGCN form: per-type row-split plans on the
+    single-launch streamed kernel, whose per-type [V, H] resident slice
+    runs a full-width single sweep (5.21 vs 6.51 ms/step measured)."""
+    shipped = json.loads(
+        (Path(bench.__file__).parent / "tf2_gnn_tpu" / "harness"
+         / "default_hypers" / "PPI_RGCN.json").read_text())
+    assert shipped["task_params"].get("pair_per_type") is True
+    batch, _, real_edges = bench.build_batch(0, use_pallas=False,
+                                             use_pairs=True,
+                                             pair_per_type=True)
+    assert real_edges > 200_000
+    assert batch.pair_plans_typed is not None and batch.pair_plans is None
+    layer = mp_layer_from_task_params(NodeMulticlassTask, "rgcn",
+                                      PPI_RGCN_OVERRIDES)
+    _assert_rides_pair_path(layer, batch, "shipped PPI_RGCN typed shape")
+    # Full-width residency: one type's [V, 384] bf16 slice must stay under
+    # the kernel's VMEM budget, or the single-sweep form silently degrades
+    # to TILE sweeps.
+    from tf2_gnn_tpu.ops.pair_spmm import VMEM_TABLE_BUDGET_BYTES
+
+    padded_h = 384  # 320 padded to the 128-lane tile
+    assert (batch.num_nodes_padded * padded_h * 2
+            <= VMEM_TABLE_BUDGET_BYTES)
 
 
 def test_rgat_bench_shape_rides_pair_attention(ppi_pair_batch):

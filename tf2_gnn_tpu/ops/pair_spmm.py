@@ -585,7 +585,15 @@ def pair_kernel_applicable(rows: int, dtype) -> bool:
 def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
                       out_rows: int):
     """The Pallas kernel (TPU only; callers route interpret/CPU to the jnp
-    fallback). ``table`` [rows, H]; returns f32 [out_rows, H]."""
+    fallback). ``table`` [rows, H]; returns f32 [out_rows, H].
+
+    Feature tiling adapts to residency (round 5): when the WHOLE padded
+    feature width fits the VMEM table budget (e.g. the backward kernel's
+    [V, H] cotangent table — 6.2 MB at the bench shape), the kernel runs a
+    single full-width sweep: one table DMA, one one-hot A build per chunk
+    instead of ``h // TILE``, and a third of the grid steps. Larger tables
+    keep the TILE-sized sweeps (the forward's [L*V, H] table exceeds the
+    budget at the bench shape)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -595,7 +603,11 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt)
     num_groups = num_chunks // group
-    h_tiles = h // TILE
+    if rows * h * table.dtype.itemsize <= VMEM_TABLE_BUDGET_BYTES:
+        tile = h  # full-width single sweep
+    else:
+        tile = TILE
+    h_tiles = h // tile
     out_dtype = jnp.float32
 
     def kernel(src_blk_ref, grp_tgt_ref, rel_s_ref, rel_t_ref, scale_ref,
@@ -607,14 +619,14 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
         @pl.when(g == 0)
         def _():
             dma = pltpu.make_async_copy(
-                table_hbm.at[:, pl.ds(t * TILE, TILE)], table_vmem, copy_sem
+                table_hbm.at[:, pl.ds(t * tile, tile)], table_vmem, copy_sem
             )
             dma.start()
             dma.wait()
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
-        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        contrib = jnp.zeros((BLK, tile), jnp.float32)
         for k in range(group):
             rel_t = rel_t_ref[k, :]
             rel_s = rel_s_ref[k, :]
@@ -652,13 +664,13 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
             pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
-            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+            pl.BlockSpec((BLK, tile), lambda t, g, s, tb: (tb[g], t),
                          memory_space=pltpu.VMEM),  # zeros -> out alias
         ],
-        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb: (tb[g], t),
+        out_specs=pl.BlockSpec((BLK, tile), lambda t, g, s, tb: (tb[g], t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, TILE), table.dtype),
+            pltpu.VMEM((rows, tile), table.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -669,8 +681,8 @@ def _pair_spmm_device(table, scale, rel_src, rel_tgt, src_blk, grp_tgt,
         out_shape=jax.ShapeDtypeStruct((out_rows, h), out_dtype),
         input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_chunks * (BLK * E_C * BLK + BLK * BLK * TILE)
-            * h_tiles,
+            flops=2 * num_chunks * (BLK * E_C * BLK * h_tiles
+                                    + BLK * BLK * h),
             bytes_accessed=rows * h * table.dtype.itemsize
             + num_chunks * E_C * 12 + out_rows * h * 4,
             transcendentals=0,
@@ -799,7 +811,15 @@ def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
     num_chunks = rel_src.shape[0]
     group = plan_group(src_blk, grp_tgt_g)
     num_groups = num_chunks // group
-    h_tiles = h // TILE
+    # Adaptive feature tiling (round 5): the resident slice is ONE type's
+    # [v, ...] rows — when the full padded width fits the VMEM budget, run
+    # a single full-width sweep (one one-hot A build per chunk, a third of
+    # the grid steps at the bench shape; same total DMA bytes).
+    if v * h * tables.dtype.itemsize <= VMEM_TABLE_BUDGET_BYTES:
+        tile = h
+    else:
+        tile = TILE
+    h_tiles = h // tile
     out_dtype = jnp.float32
 
     def kernel(src_blk_ref, grp_tgt_ref, grp_type_ref, rel_s_ref, rel_t_ref,
@@ -815,7 +835,7 @@ def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
         @pl.when(jnp.logical_or(g == 0, ty != prev_ty))
         def _():
             dma = pltpu.make_async_copy(
-                tables_hbm.at[pl.ds(ty * v, v), pl.ds(t * TILE, TILE)],
+                tables_hbm.at[pl.ds(ty * v, v), pl.ds(t * tile, tile)],
                 table_vmem, copy_sem,
             )
             dma.start()
@@ -823,7 +843,7 @@ def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
-        contrib = jnp.zeros((BLK, TILE), jnp.float32)
+        contrib = jnp.zeros((BLK, tile), jnp.float32)
         for k in range(group):
             rel_t = rel_t_ref[k, :]
             rel_s = rel_s_ref[k, :]
@@ -861,13 +881,13 @@ def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
             pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # tables stay in HBM
-            pl.BlockSpec((BLK, TILE), lambda t, g, s, tb, ty: (tb[g], t),
+            pl.BlockSpec((BLK, tile), lambda t, g, s, tb, ty: (tb[g], t),
                          memory_space=pltpu.VMEM),  # zeros -> out alias
         ],
-        out_specs=pl.BlockSpec((BLK, TILE), lambda t, g, s, tb, ty: (tb[g], t),
+        out_specs=pl.BlockSpec((BLK, tile), lambda t, g, s, tb, ty: (tb[g], t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((v, TILE), tables.dtype),
+            pltpu.VMEM((v, tile), tables.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -878,8 +898,8 @@ def _pair_spmm_stream_device(tables, scale, rel_src, rel_tgt, src_blk,
         out_shape=jax.ShapeDtypeStruct((out_rows, h), out_dtype),
         input_output_aliases={7: 0},
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_chunks * (BLK * E_C * BLK + BLK * BLK * TILE)
-            * h_tiles,
+            flops=2 * num_chunks * (BLK * E_C * BLK * h_tiles
+                                    + BLK * BLK * h),
             bytes_accessed=tables.shape[0] * h * tables.dtype.itemsize
             + num_chunks * E_C * 12 + out_rows * h * 4,
             transcendentals=0,
