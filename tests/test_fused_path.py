@@ -391,11 +391,14 @@ def _typed_pair_dataset(tmp_path):
 
 
 @pytest.mark.parametrize("flavour",
-                         ["rgcn", "ggnn", "rgin", "gnn_film", "rgat"])
+                         ["rgcn", "ggnn", "rgin", "gnn_film", "rgat",
+                          "gnn_edge_mlp", "gnn_edge_mlp_0hidden"])
 def test_per_type_pair_path_matches_standard(tmp_path, flavour):
     """The row-split per-type pair plans (one [V]-row launch per edge type —
-    the form for graphs whose merged [L*V] tables exceed VMEM) are a pure
-    drop-in: same params, outputs, and gradients as the plain XLA path."""
+    the form for graphs whose merged [L*V] tables exceed VMEM, and since
+    round 5 the FAST form for the PPI-scale joint-sum and factorised
+    flavours) are a pure drop-in: same params, outputs, and gradients as
+    the plain XLA path."""
     ds = _typed_pair_dataset(tmp_path)
     batch_pair, _ = next(ds.batch_iterator(DataFold.VALIDATION))
     assert batch_pair.pair_plans is None
@@ -403,8 +406,11 @@ def test_per_type_pair_path_matches_standard(tmp_path, flavour):
     assert len(batch_pair.pair_plans_typed) == batch_pair.num_edge_types
     batch_plain = batch_pair.replace(pair_plans_typed=None)
 
+    extra = {}
+    if flavour == "gnn_edge_mlp_0hidden":
+        flavour, extra = "gnn_edge_mlp", {"num_edge_MLP_hidden_layers": 0}
     hp = GNN.get_default_hyperparameters(flavour)
-    hp.update({"hidden_dim": 8, "num_layers": 2})
+    hp.update({"hidden_dim": 8, "num_layers": 2, **extra})
     if flavour == "rgat":
         hp["num_heads"] = 4
     gnn = GNN.from_params(hp)

@@ -667,3 +667,48 @@ def test_hybrid_stack_rejects_mismatched_leaf_shapes():
     with pytest.raises(ValueError, match="node_features"):
         stack_partitioned_batches([b for b, _ in reps],
                                   [l for _, l in reps])
+
+
+@pytest.mark.parametrize("halo_form", ["dense", "ring"])
+def test_spmd_typed_pair_path_matches_single_device(halo_form):
+    """Round 5: per-TYPE row-split plans per shard ride the single-launch
+    streamed kernel under SPMD (ext src_space slices, full-width
+    single-sweep residency) — the form the shipped PPI_RGCN config uses
+    single-chip. The patch counter proves the streamed path runs."""
+    from unittest import mock
+
+    import tf2_gnn_tpu.ops.pair_spmm as ps
+
+    nf, adj, n2g, g = _giant_graph(num_nodes=200, seed=29)
+    params = _model_params(NodeMulticlassTask, "rgcn")
+    model = NodeMulticlassTask.from_params(params)
+
+    single = _single_device_batch(nf, adj, n2g, g, num_graphs_padded=4)
+    variables = model.init(jax.random.PRNGKey(0), single, False)
+    (ref_logits,) = model.apply(variables, single, False)
+
+    mesh = make_mesh(axis_name="nodes")
+    sharded, _ = partition_graph(nf, adj, n2g, g, NUM_SHARDS,
+                                 num_graphs_padded=4, halo=halo_form,
+                                 build_pair_plans=True, pair_per_type=True)
+    assert sharded.pair_plans is None
+    assert sharded.pair_plans_typed is not None and sharded.halo_mode
+    for typed in sharded.pair_plans_typed:
+        assert all(p.shape[0] == NUM_SHARDS for p in typed)
+
+    calls = []
+    orig = ps.pair_stream_from_typed
+
+    def counted(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(ps, "pair_stream_from_typed", counted):
+        (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
+                                                        sharded)
+    assert calls, "streamed typed kernel never ran under SPMD"
+    spmd_flat = restore_node_order(spmd_logits, sharded)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
+        rtol=2e-4, atol=2e-4,
+    )

@@ -53,6 +53,7 @@ def partition_graph(
     build_scatter_plans: bool = False,
     build_pair_plans: bool = False,
     pair_merge_targets: bool = False,
+    pair_per_type: bool = False,
     halo="auto",
     reorder="auto",
 ) -> Tuple[GraphBatch, Dict[str, np.ndarray]]:
@@ -320,7 +321,58 @@ def partition_graph(
         )
 
     pair_plans = None
-    if build_pair_plans:
+    pair_plans_typed = None
+    if build_pair_plans and pair_per_type:
+        # Per-TYPE row-split plans per shard (round 5): the streamed
+        # single-launch kernel's resident slice is one type's ext rows at
+        # FULL feature width (the single-sweep fast form that won the
+        # single-chip headline). Same stacking contract as the merged
+        # plans: shared groups + per-type max budgets across shards.
+        if pair_merge_targets:
+            raise ValueError(
+                "pair_per_type produces per-type aggregates natively; "
+                "combine it with pair_merge_targets=False.")
+        from ..ops.pair_spmm import build_pair_plans as _build_pair_plans
+        from ..ops.pair_spmm import choose_pair_groups, measure_pair_chunks
+
+        busiest = int(np.argmax(num_edges.sum(axis=1)))
+        gf, gb = choose_pair_groups(
+            [sources[0][busiest]], [targets[0][busiest]],
+            [int(num_edges[busiest, 0])], nodes_per_shard,
+            src_space=ext_nodes,
+        )
+        budgets = []
+        for t in range(num_types):
+            cf = cb = 0
+            for s_ in range(num_shards):
+                mf, mb = measure_pair_chunks(
+                    [sources[t][s_]], [targets[t][s_]],
+                    [int(num_edges[s_, t])], nodes_per_shard,
+                    src_space=ext_nodes, group_fwd=gf, group_bwd=gb,
+                )
+                cf = max(cf, _round_up(mf, gf))
+                cb = max(cb, _round_up(mb, gb))
+            budgets.append((cf, cb))
+        typed_stacked = []
+        for t in range(num_types):
+            per_shard = [
+                _build_pair_plans(
+                    [sources[t][s_]], [targets[t][s_]],
+                    [int(num_edges[s_, t])], nodes_per_shard,
+                    src_space=ext_nodes,
+                    chunk_budget_fwd=budgets[t][0],
+                    chunk_budget_bwd=budgets[t][1],
+                    overflow_budget=0, overflow_size=0,
+                    group_fwd=gf, group_bwd=gb,
+                ).astuple()
+                for s_ in range(num_shards)
+            ]
+            typed_stacked.append(tuple(
+                np.stack([p[i] for p in per_shard], axis=0)
+                for i in range(len(per_shard[0]))
+            ))
+        pair_plans_typed = tuple(typed_stacked)
+    elif build_pair_plans:
         # Per-shard block-pair plans over the EXT-LOCAL source row space
         # ``l * ext_nodes + u`` ([local | halo slabs]) — the gather-free fast
         # path (ops/pair_spmm.py) composed with the boundary halo exchange:
@@ -397,6 +449,7 @@ def partition_graph(
         spmd_num_shards=num_shards,
         scatter_plans=scatter_plans,
         pair_plans=pair_plans,
+        pair_plans_typed=pair_plans_typed,
         pair_targets_merged=bool(pair_plans is not None and pair_merge_targets),
         in_degrees=in_degrees,
         halo_send_idx=halo_send_idx,
