@@ -89,7 +89,7 @@ class SyntheticNeighbourhoodDataset(GraphDataset):
 
 
 def run(epochs, flavour="rgcn", use_pairs=True, quiet=False,
-        ppi_shaped=False, merge_targets=False):
+        ppi_shaped=False, merge_targets=False, per_type=False):
     """Train one configuration; returns the per-epoch valid F1 trajectory.
 
     ``use_pairs=False`` runs the plain XLA gather/segment path (no plans at
@@ -108,7 +108,8 @@ def run(epochs, flavour="rgcn", use_pairs=True, quiet=False,
          "max_nodes_per_batch": 8064 if ppi_shaped else 1024,
          "use_pallas_spmm": use_pairs,
          "use_pair_spmm": use_pairs,
-         "pair_merge_targets": merge_targets},
+         "pair_merge_targets": merge_targets,
+         "pair_per_type": per_type},
         num_graphs=60 if ppi_shaped else 200,
         nodes_per_graph=2400 if ppi_shaped else 200,
     )
@@ -207,9 +208,28 @@ def main():
         }), flush=True)
         return
 
+    if mode == "typed-ab":
+        # A/B for the round-5 shipped form: per-type streamed single-sweep
+        # plans vs plain XLA, identical seeds/shuffles.
+        f1_typed = run(epochs, "rgcn", use_pairs=True, per_type=True)
+        f1_xla = run(epochs, "rgcn", use_pairs=False)
+        n = min(len(f1_typed), len(f1_xla))
+        gap = max(abs(a - b) for a, b in zip(f1_typed[:n], f1_xla[:n]))
+        print(json.dumps({
+            "task": "synthetic_neighbourhood_multilabel_typed_ab",
+            "typed_trajectory": f1_typed,
+            "xla_trajectory": f1_xla,
+            "max_f1_gap": round(gap, 4),
+            "final_valid_f1": f1_typed[-1] if f1_typed else None,
+            "epochs": epochs,
+        }), flush=True)
+        return
+
     ppi_shaped = mode == "ppi-shaped"
+    # ppi-shaped mirrors the SHIPPED PPI_RGCN config, which since round 5
+    # rides per-type streamed plans.
     f1s = run(epochs, "rgcn" if ppi_shaped else mode, use_pairs=True,
-              ppi_shaped=ppi_shaped)
+              ppi_shaped=ppi_shaped, per_type=ppi_shaped)
     print(json.dumps({
         "task": "synthetic_neighbourhood_multilabel"
                 + ("_ppi_shaped" if ppi_shaped else ""),

@@ -74,6 +74,11 @@ timeout 2400 python benchmarks/convergence.py 10 qm9-dtype-ab \
     > "$OUT/29_qm9_dtype_ab.log" 2>&1
 tail -2 "$OUT/29_qm9_dtype_ab.log"
 
+echo "== typed-plan learning A/B (round-5 shipped form vs XLA) =="
+timeout 2400 python benchmarks/convergence.py 10 typed-ab \
+    > "$OUT/29b_typed_ab.log" 2>&1
+tail -2 "$OUT/29b_typed_ab.log"
+
 echo "== RGAT flavour sweep (XLA vs fused) =="
 timeout 2400 python benchmarks/flavour_sweep.py rgat \
     > "$OUT/30_rgat_sweep.log" 2>&1

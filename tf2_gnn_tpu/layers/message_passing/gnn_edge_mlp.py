@@ -253,24 +253,34 @@ class GNN_Edge_MLP(MessagePassing):
                 batch, num_types * batch.pair_src_space, stream_dtype)):
             return None
 
+        from ...ops.pair_spmm import TILE
+
         if not self.use_target_state_as_input:
-            tables = self._fused_node_space_tables(node_states, batch)
-            return self._pair_typed_aggregates(
+            h_out = int(self._edge_mlp_layer_sizes()[-1])
+            pad_to = h_out + (-h_out % TILE) if h_out % TILE else None
+            tables = self._fused_node_space_tables(node_states, batch,
+                                                   pad_to=pad_to)
+            out = self._pair_typed_aggregates(
                 tables, batch, self.normalize_by_num_incoming
             )
+            # Drop the TILE-padding zero columns (fuses into the consumer).
+            return out[..., :h_out] if pad_to else out
 
         if self.num_edge_MLP_hidden_layers != 0:
             return None
         from ...utils.constants import SMALL_NUMBER
 
         in_dim = node_states.shape[-1]
+        pad_to = (self.hidden_dim + (-self.hidden_dim % TILE)
+                  if self.hidden_dim % TILE else None)
         # Under SPMD-halo ``node_states`` are the pre-exchanged EXT states
         # ([local | halo slabs] rows — this form is not halo-overlap-capable,
         # base.py:282): the source half spans the ext row space the plans
         # address; the target half only needs the local rows.
         src_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_src_0",
-                               compute_dtype=self.dense_dtype)(node_states)
+                               compute_dtype=self.dense_dtype,
+                               pad_out_to=pad_to)(node_states)
         tgt_half = TypedLinear(num_types, in_dim, self.hidden_dim,
                                name="edge_mlp_tgt_0",
                                compute_dtype=self.dense_dtype)(node_states[:v])
@@ -279,7 +289,9 @@ class GNN_Edge_MLP(MessagePassing):
             src_flat = src_flat.astype(self.edge_dtype)
         agg = self._pair_typed_aggregates(
             src_flat, batch, self.normalize_by_num_incoming
-        )  # [L, V, H] f32
+        )  # [L, V, H_pad] f32
+        if pad_to:
+            agg = agg[..., :self.hidden_dim]
         deg = calculate_type_to_num_incoming_edges(batch)  # [L, V]
         if self.normalize_by_num_incoming:
             coeff = deg / (deg + SMALL_NUMBER)
