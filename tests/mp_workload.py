@@ -59,7 +59,7 @@ def build_dp_batches():
 
 def build_spmd_partition(halo="auto", build_pair_plans=False, seed=7,
                          num_shards=NUM_DEVICES, expect_reorder=False,
-                         shuffle=True, reorder="auto"):
+                         shuffle=True, reorder="auto", pair_per_type=False):
     """One giant localized graph partitioned over ``num_shards`` shards."""
     from tf2_gnn_tpu.parallel import partition_graph
 
@@ -82,6 +82,7 @@ def build_spmd_partition(halo="auto", build_pair_plans=False, seed=7,
         axis_name=SPMD_AXIS, num_graphs_padded=4,
         node_labels={"node_labels": labels},
         halo=halo, build_pair_plans=build_pair_plans, reorder=reorder,
+        pair_per_type=pair_per_type,
     )
     if expect_reorder:
         # Only asserted where nodes_per_shard < num_nodes: the pair-plan
@@ -129,11 +130,14 @@ def run_steps(mesh_dp, mesh_spmd, lift, mesh_hybrid=None, lift2d=None):
                                      axis_name=SPMD_AXIS)
     result = {"dp_loss": dp_loss}
     for name, halo, pairs in (("spmd_loss", "dense", False),
-                              ("spmd_ring_pair_loss", "ring", True)):
+                              ("spmd_ring_pair_loss", "ring", True),
+                              ("spmd_typed_pair_loss", "ring", "typed")):
         sharded, sharded_labels = build_spmd_partition(
-            halo=halo, build_pair_plans=pairs, expect_reorder=not pairs)
+            halo=halo, build_pair_plans=bool(pairs),
+            pair_per_type=pairs == "typed", expect_reorder=not pairs)
         assert (sharded.halo_ring_send is not None) == (halo == "ring")
-        assert (sharded.pair_plans is not None) == pairs
+        assert (sharded.pair_plans is not None) == (pairs is True)
+        assert (sharded.pair_plans_typed is not None) == (pairs == "typed")
         state2 = create_train_state(model, one, optimizer, seed=0)
         state2, spmd_metrics = spmd_step(state2, lift(sharded, SPMD_AXIS),
                                          lift(sharded_labels, SPMD_AXIS))

@@ -72,7 +72,8 @@ def test_two_process_cluster_matches_single_process():
     # Both processes observe the same replicated metrics: DP, SPMD on the
     # dense all_to_all form, SPMD on the ring form RIDING THE PAIR KERNELS,
     # and the hybrid 2x4 mesh (each process feeding its own replica).
-    keys = ("dp_loss", "spmd_loss", "spmd_ring_pair_loss", "hybrid_loss",
+    keys = ("dp_loss", "spmd_loss", "spmd_ring_pair_loss",
+            "spmd_typed_pair_loss", "hybrid_loss",
             "checksum")
     for key in keys:
         np.testing.assert_allclose(results[0][key], results[1][key],
