@@ -35,6 +35,8 @@ def main():
          tpe.test_pair_edge_mlp_kernels_match_twins_on_tpu),
         ("pair_spmm streamed-typed device twin",
          tps.test_streamed_kernel_matches_twin_on_tpu),
+        ("pair_spmm JOINT-window device twin",
+         tps.test_joint_stream_kernel_matches_twin_on_tpu),
         ("pair_attention ext src_space on device", _ext_src_space_check),
     ):
         np.random.seed(0)

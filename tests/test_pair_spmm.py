@@ -424,3 +424,52 @@ def test_concat_typed_plans_rejects_mismatched_groups():
     )
     with pytest.raises(ValueError, match="shared .group_fwd, group_bwd."):
         ps.concat_typed_plans(mixed, v, v, normalize=False)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_joint_stream_matches_per_type_sum(normalize):
+    """The JOINT streamed op (whole-output window fwd + un-broadcast
+    cotangent bwd) reproduces per-type-stream + reshape-sum — outputs AND
+    gradients."""
+    rng = np.random.RandomState(13)
+    v, num_types, h = 384, 3, 24
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans_typed = _per_type_plans(srcs, tgts, counts, v)
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    cot = jnp.asarray(rng.randn(v, h).astype(np.float32))
+
+    def ref_form(t):
+        out = ps.pair_stream_from_typed(t, plans_typed, v, normalize)
+        return out.reshape(num_types, v, -1).sum(axis=0)
+
+    def joint_form(t):
+        return ps.pair_stream_joint_from_typed(t, plans_typed, v, normalize)
+
+    np.testing.assert_allclose(np.asarray(joint_form(tables)),
+                               np.asarray(ref_form(tables)),
+                               rtol=2e-4, atol=2e-4)
+    g_ref = jax.grad(lambda t: jnp.vdot(ref_form(t), cot))(tables)
+    g_joint = jax.grad(lambda t: jnp.vdot(joint_form(t), cot))(tables)
+    np.testing.assert_allclose(np.asarray(g_joint), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel runs on TPU only")
+def test_joint_stream_kernel_matches_twin_on_tpu():
+    """Device joint kernel (whole-output VMEM window) vs the jnp twin."""
+    rng = np.random.RandomState(3)
+    v, num_types, h = 512, 3, 256
+    srcs, tgts, counts = _random_edges(rng, num_types, v)
+    plans_typed = _per_type_plans(srcs, tgts, counts, v)
+    args = ps.concat_typed_plans(plans_typed, v, v, normalize=False)
+    (sf, sb, so, rsf, rtf, sbf, gtf, gyf, *_rest) = args
+    gtf_l = jnp.asarray(gtf) - jnp.asarray(gyf) * (v // ps.BLK)
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+    dev = ps._pair_spmm_stream_joint_device(tables, sf, rsf, rtf, sbf,
+                                            gtf_l, gyf, v, v)
+    ref = ps._pair_spmm_stream_joint_jnp(tables, sf, rsf, rtf, sbf,
+                                         gtf_l, gyf, v, v)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -208,11 +208,19 @@ class GNN_Edge_MLP(MessagePassing):
 
     def _pair_sum_aggregate(self, tables: jnp.ndarray, batch: GraphBatch):
         """Joint [V, H] sum over all types via the pair kernel (reducing the
-        type axis afterwards when the output is per-type — merged-target or
-        per-type plans)."""
+        type axis afterwards when the output is per-type merged-target
+        plans). Per-type plans ride the dedicated JOINT streamed op: no
+        [L*V, H] forward materialisation when the output window fits VMEM,
+        and the backward consumes the un-broadcast [V, H] cotangent."""
+        if batch.pair_plans is None:
+            from ...ops.pair_spmm import pair_stream_joint_from_typed
+
+            return pair_stream_joint_from_typed(
+                tables, batch.pair_plans_typed, batch.num_nodes_padded,
+                self.normalize_by_num_incoming)
         out = self._pair_kernel_out(tables, batch,
                                     self.normalize_by_num_incoming)
-        if batch.pair_targets_merged or batch.pair_plans is None:
+        if batch.pair_targets_merged:
             v = batch.num_nodes_padded
             out = out.reshape(batch.num_edge_types, v, -1).sum(axis=0)
         return out

@@ -947,6 +947,151 @@ def pair_spmm_stream(tables, scale, rel_src, rel_tgt, src_blk, grp_tgt_g,
               v, out_rows)
 
 
+# -- JOINT-SUM streamed forward: whole-output VMEM window --------------------
+#
+# The joint sum over types used to materialise the per-type [L*Vo, H] f32
+# aggregates (plus their zeros init) and reduce afterwards — ~126 MB of HBM
+# traffic per QM9 layer for an [Vo, H] result. When the [Vo, tile] output
+# window AND the per-type table slab fit VMEM together, this kernel keeps
+# the WHOLE output resident across the launch (constant out index map),
+# accumulates each group's contribution at its target block row offset, and
+# writes the result back once. Types may revisit output blocks in any order
+# (no run/first-visit logic — the window is always live).
+
+JOINT_WINDOW_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def pair_stream_joint_applicable(v_src: int, v_out: int, h_padded: int,
+                                 table_dtype) -> bool:
+    tile = (h_padded if v_src * h_padded * jnp.dtype(table_dtype).itemsize
+            <= VMEM_TABLE_BUDGET_BYTES else TILE)
+    window = v_out * tile * 4
+    slab = v_src * tile * jnp.dtype(table_dtype).itemsize
+    return window + slab <= JOINT_WINDOW_BUDGET_BYTES
+
+
+def _pair_spmm_stream_joint_device(tables, scale, rel_src, rel_tgt, src_blk,
+                                   grp_tgt_l, grp_type, v: int, v_out: int):
+    """Like ``_pair_spmm_stream_device`` but ``grp_tgt_l`` holds LOCAL
+    output blocks (no type offset) and the [v_out, tile] output stays
+    VMEM-resident for the whole launch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_h = tables.shape[-1]
+    tables = _pad_cols(tables, TILE)
+    _, h = tables.shape
+    num_chunks = rel_src.shape[0]
+    group = plan_group(src_blk, grp_tgt_l)
+    num_groups = num_chunks // group
+    if v * h * tables.dtype.itemsize <= VMEM_TABLE_BUDGET_BYTES:
+        tile = h
+    else:
+        tile = TILE
+    h_tiles = h // tile
+
+    def kernel(src_blk_ref, grp_tgt_ref, grp_type_ref, rel_s_ref, rel_t_ref,
+               scale_ref, tables_hbm, out_ref, table_vmem, copy_sem):
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros((v_out, tile), jnp.float32)
+
+        ty = grp_type_ref[g]
+        prev_ty = grp_type_ref[jnp.maximum(g - 1, 0)]
+
+        @pl.when(jnp.logical_or(g == 0, ty != prev_ty))
+        def _():
+            dma = pltpu.make_async_copy(
+                tables_hbm.at[pl.ds(ty * v, v), pl.ds(t * tile, tile)],
+                table_vmem, copy_sem,
+            )
+            dma.start()
+            dma.wait()
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLK, E_C), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (E_C, BLK), 1)
+        contrib = jnp.zeros((BLK, tile), jnp.float32)
+        for k in range(group):
+            rel_t = rel_t_ref[k, :]
+            rel_s = rel_s_ref[k, :]
+            sc = scale_ref[k, :]
+            oh_t = ((rows_i == rel_t[None, :]).astype(jnp.float32)
+                    * sc[None, :]).astype(table_vmem.dtype)
+            oh_s = (cols_i == rel_s[:, None]).astype(table_vmem.dtype)
+            a = jnp.dot(oh_t, oh_s, preferred_element_type=jnp.float32)
+            blk = src_blk_ref[g * group + k]
+            tb = table_vmem[pl.ds(blk * BLK, BLK), :]
+            contrib = contrib + jnp.dot(
+                a.astype(table_vmem.dtype), tb,
+                preferred_element_type=jnp.float32,
+            )
+
+        tgt = grp_tgt_ref[g]
+        cur = out_ref[pl.ds(tgt * BLK, BLK), :]
+        out_ref[pl.ds(tgt * BLK, BLK), :] = cur + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # src_blk, grp_tgt_l, grp_type
+        grid=(h_tiles, num_groups),
+        in_specs=[
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, E_C), lambda t, g, *s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tables stay in HBM
+        ],
+        # Constant index over g: the whole [v_out, tile] window stays
+        # resident; written back at each t boundary.
+        out_specs=pl.BlockSpec((v_out, tile), lambda t, g, *s: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v, tile), tables.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v_out, h), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (BLK * E_C * BLK * h_tiles
+                                    + BLK * BLK * h),
+            bytes_accessed=tables.shape[0] * h * tables.dtype.itemsize
+            + num_chunks * E_C * 12 + v_out * h * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(src_blk), jnp.asarray(grp_tgt_l), jnp.asarray(grp_type),
+      jnp.asarray(rel_src), jnp.asarray(rel_tgt),
+      scale.reshape(num_chunks, E_C), tables)
+    return out[:, :orig_h]
+
+
+def _pair_spmm_stream_joint_jnp(tables, scale, rel_src, rel_tgt, src_blk,
+                                grp_tgt_l, grp_type, v: int, v_out: int):
+    srcabs, tgtabs, valid = _stream_slot_abs_ids(
+        rel_src, rel_tgt, src_blk, grp_tgt_l, grp_type, v)
+    msgs = jnp.take(tables, srcabs, axis=0, mode="clip").astype(jnp.float32)
+    msgs = msgs * (scale.reshape(-1) * valid)[:, None]
+    seg = jnp.where(valid, tgtabs, v_out)
+    return jax.ops.segment_sum(msgs, seg, num_segments=v_out + 1)[:v_out]
+
+
+def pair_spmm_stream_joint(tables, scale, rel_src, rel_tgt, src_blk,
+                           grp_tgt_l, grp_type, v: int, v_out: int,
+                           interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = (_pair_spmm_stream_joint_jnp if interpret
+          else _pair_spmm_stream_joint_device)
+    return fn(tables, scale, rel_src, rel_tgt, src_blk, grp_tgt_l, grp_type,
+              v, v_out)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(16, 17))
 def pair_stream_gather_scatter(
     tables_flat: jnp.ndarray,   # [L*Vs, H] stacked per-type node tables
@@ -1088,3 +1233,111 @@ def pair_stream_from_typed(tables_flat, plans_typed, v_out: int,
     v_src = tables_flat.shape[0] // len(plans_typed)
     args = concat_typed_plans(plans_typed, v_src, v_out, normalize)
     return pair_stream_gather_scatter(tables_flat, *args, v_src, v_out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
+def pair_stream_joint(
+    tables_flat: jnp.ndarray,   # [L*Vs, H] stacked per-type node tables
+    scale_fwd, scale_bwd, ovf_scale,
+    rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_fl, grp_type_f,  # fwd, LOCAL tgts
+    rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, type_b_zeros,  # bwd
+    ovf_src, ovf_tgt_l,          # global src rows; LOCAL ovf targets
+    v_src: int, v_out: int, num_types: int,
+) -> jnp.ndarray:
+    """JOINT sum over types, [Vo, H] f32: ``out[t] = sum over ALL edges
+    (u -> t, type l) of scale_e * tables[l*Vs + u]``.
+
+    vs ``pair_stream_from_typed(...).reshape(L, Vo, -1).sum(0)`` this
+    (a) keeps the forward output fully VMEM-resident when it fits
+    (``pair_stream_joint_applicable``) — no [L*Vo, H] materialisation, no
+    zeros init, no reduce pass — and (b) feeds the backward the
+    UN-broadcast [Vo, H] cotangent (``type_b_zeros``: every bwd group
+    reads the same single resident slab), eliminating the L-fold
+    cotangent broadcast the sum's VJP would emit."""
+    on_tpu = jax.default_backend() == "tpu"
+    h_pad = tables_flat.shape[1] + (-tables_flat.shape[1]) % TILE
+    if not on_tpu:
+        out = _pair_spmm_stream_joint_jnp(
+            tables_flat, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
+            grp_tgt_fl, grp_type_f, v_src, v_out)
+    elif pair_stream_joint_applicable(v_src, v_out, h_pad,
+                                      tables_flat.dtype):
+        out = _pair_spmm_stream_joint_device(
+            tables_flat, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
+            grp_tgt_fl, grp_type_f, v_src, v_out)
+    else:
+        # Window too large (e.g. PPI's [8064, 384] f32 + slab): per-type
+        # streamed forward + reduce — the bwd half still avoids the
+        # broadcast.
+        grp_tgt_g = jnp.asarray(grp_tgt_fl) + (jnp.asarray(grp_type_f)
+                                               * (v_out // BLK))
+        out = _pair_spmm_stream_device(
+            tables_flat, scale_fwd, rel_src_f, rel_tgt_f, src_blk_f,
+            grp_tgt_g, grp_type_f, v_src, num_types * v_out)
+        out = out.reshape(num_types, v_out, -1).sum(axis=0)
+    if ovf_src.shape[0]:
+        msgs = jnp.take(tables_flat, ovf_src, axis=0,
+                        mode="clip").astype(jnp.float32)
+        msgs = msgs * ovf_scale[:, None]
+        out = out + jax.ops.segment_sum(
+            msgs, ovf_tgt_l, num_segments=v_out + 1
+        )[:v_out]
+    return out
+
+
+def _psj_fwd(tables_flat, scale_fwd, scale_bwd, ovf_scale,
+             rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_fl, grp_type_f,
+             rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, type_b_zeros,
+             ovf_src, ovf_tgt_l, v_src, v_out, num_types):
+    out = pair_stream_joint(
+        tables_flat, scale_fwd, scale_bwd, ovf_scale,
+        rel_src_f, rel_tgt_f, src_blk_f, grp_tgt_fl, grp_type_f,
+        rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, type_b_zeros,
+        ovf_src, ovf_tgt_l, v_src, v_out, num_types,
+    )
+    return out, (jnp.zeros((0,), tables_flat.dtype), scale_bwd, ovf_scale,
+                 rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b, type_b_zeros,
+                 ovf_src, ovf_tgt_l)
+
+
+def _psj_bwd(v_src, v_out, num_types, res, g):
+    (dtype_carrier, scale_bwd, ovf_scale, rel_src_b, rel_tgt_b, src_blk_b,
+     grp_tgt_b, type_b_zeros, ovf_src, ovf_tgt_l) = res
+    rows = num_types * v_src
+    # ONE resident slab: type ids are all zero, so the kernel DMAs the
+    # [Vo, H] cotangent once and every type's bwd groups gather from it.
+    d_tables = pair_spmm_stream(g.astype(dtype_carrier.dtype), scale_bwd,
+                                rel_src_b, rel_tgt_b, src_blk_b, grp_tgt_b,
+                                type_b_zeros, v_out, rows)
+    if ovf_src.shape[0]:
+        g_rows = jnp.take(g, jnp.minimum(ovf_tgt_l, v_out - 1), axis=0,
+                          mode="clip")
+        g_rows = g_rows * ovf_scale[:, None]
+        d_tables = d_tables + jax.ops.segment_sum(
+            g_rows, ovf_src, num_segments=rows
+        )
+    return (d_tables,) + (None,) * 15
+
+
+pair_stream_joint.defvjp(_psj_fwd, _psj_bwd)
+
+
+def pair_stream_joint_from_typed(tables_flat, plans_typed, v_out: int,
+                                 normalize: bool):
+    """Joint [Vo, H] sum over per-type plans — the typed analog of the
+    merged plans' joint form, without the per-type materialisation or the
+    backward cotangent broadcast (see ``pair_stream_joint``)."""
+    num_types = len(plans_typed)
+    v_src = tables_flat.shape[0] // num_types
+    (sf, sb, so, rsf, rtf, sbf, gtf, gyf, rsb, rtb, sbb, gtb, gyb,
+     osrc, otgt) = concat_typed_plans(plans_typed, v_src, v_out, normalize)
+    # Localize the forward output blocks / overflow targets (sentinel
+    # rows carry zero scales, so clipping them to the pad row is safe).
+    gtf_l = jnp.asarray(gtf) - jnp.asarray(gyf) * (v_out // BLK)
+    otgt_l = jnp.where(jnp.asarray(otgt) >= num_types * v_out, v_out,
+                       jnp.asarray(otgt) % v_out)
+    return pair_stream_joint(
+        tables_flat, sf, sb, so, rsf, rtf, sbf, gtf_l, gyf,
+        rsb, rtb, sbb, gtb, jnp.zeros_like(jnp.asarray(gyb)),
+        osrc, otgt_l, v_src, v_out, num_types,
+    )
