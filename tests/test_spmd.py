@@ -697,16 +697,16 @@ def test_spmd_typed_pair_path_matches_single_device(halo_form):
         assert all(p.shape[0] == NUM_SHARDS for p in typed)
 
     calls = []
-    orig = ps.pair_stream_from_typed
+    orig = ps.pair_stream_joint_from_typed
 
     def counted(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    with mock.patch.object(ps, "pair_stream_from_typed", counted):
+    with mock.patch.object(ps, "pair_stream_joint_from_typed", counted):
         (spmd_logits,) = make_spmd_forward(model, mesh)(variables["params"],
                                                         sharded)
-    assert calls, "streamed typed kernel never ran under SPMD"
+    assert calls, "joint streamed typed kernel never ran under SPMD"
     spmd_flat = restore_node_order(spmd_logits, sharded)
     np.testing.assert_allclose(
         np.asarray(ref_logits)[: nf.shape[0]], spmd_flat[: nf.shape[0]],
