@@ -217,14 +217,21 @@ SPREAD_TOLERANCE_PCT = 3.0
 
 def _timed_steps(train_step, state, batch, labels,
                  base_steps: int = 8, full_steps: int = 24,
-                 reps: int = MEASURE_REPS):
+                 reps: int = MEASURE_REPS,
+                 min_run_s: float = 0.4):
     """Differenced host-forced step timing shared by every bench metric:
     warm up, then time two run lengths and difference them (the final host
     transfer forces completion; block_until_ready returns early through the
     axon tunnel, and differencing cancels that fixed cost). The differenced
     measurement is repeated ``reps`` times (one warmup/compile); returns a
     sorted list of seconds-per-step samples — callers take the median and
-    report the spread."""
+    report the spread.
+
+    Run lengths scale up so the SHORT run lasts >= ``min_run_s``: a fast
+    step (the 5 ms headline) over the stock 8/24 steps gives ~40/125 ms
+    windows, where ±10-20 ms of tunnel jitter reads as ±15% spread — the
+    same jitter over >=400 ms windows is ~2% (the longer-step families
+    measure ±0.3% with no scaling)."""
     import jax
 
     def run(n, state):
@@ -239,6 +246,11 @@ def _timed_steps(train_step, state, batch, labels,
         return time.perf_counter() - t0, state
 
     _, state = run(WARMUP_STEPS, state)
+    t_probe, state = run(base_steps, state)
+    if t_probe < min_run_s:
+        factor = int(np.ceil(min_run_s / max(t_probe, 1e-3)))
+        base_steps *= factor
+        full_steps *= factor
     samples = []
     for _ in range(reps):
         t_base, state = run(base_steps, state)
