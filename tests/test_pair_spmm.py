@@ -473,3 +473,41 @@ def test_joint_stream_kernel_matches_twin_on_tpu():
                                          gtf_l, gyf, v, v)
     np.testing.assert_allclose(np.asarray(dev), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_joint_stream_with_real_spills_matches():
+    """Per-type plans with GENUINELY spilled pairs: the joint op's overflow
+    branch (LOCAL overflow targets, un-broadcast bwd transpose) must stay
+    exact for outputs AND gradients."""
+    rng = np.random.RandomState(17)
+    v, num_types, h = 384, 2, 8
+    srcs, tgts, counts = _random_edges(rng, num_types, v, clusters=False)
+    plans_typed = tuple(
+        ps.build_pair_plans(
+            [srcs[t]], [tgts[t]], [counts[t]], v,
+            chunk_budget_fwd=ps.GROUP, chunk_budget_bwd=ps.GROUP,
+            overflow_budget=((counts[t] + 63) // 64) * 64,
+            group_fwd=8, group_bwd=8,
+        ).astuple()
+        for t in range(num_types)
+    )
+    spilled = sum(int(np.sum(np.asarray(p[9]) < v)) for p in plans_typed)
+    assert spilled > 0  # the overflow branch is actually exercised
+
+    tables = jnp.asarray(rng.randn(num_types * v, h).astype(np.float32))
+    cot = jnp.asarray(rng.randn(v, h).astype(np.float32))
+
+    def ref_form(t):
+        out = ps.pair_stream_from_typed(t, plans_typed, v, False)
+        return out.reshape(num_types, v, -1).sum(axis=0)
+
+    def joint_form(t):
+        return ps.pair_stream_joint_from_typed(t, plans_typed, v, False)
+
+    np.testing.assert_allclose(np.asarray(joint_form(tables)),
+                               np.asarray(ref_form(tables)),
+                               rtol=2e-4, atol=2e-4)
+    g_ref = jax.grad(lambda t: jnp.vdot(ref_form(t), cot))(tables)
+    g_joint = jax.grad(lambda t: jnp.vdot(joint_form(t), cot))(tables)
+    np.testing.assert_allclose(np.asarray(g_joint), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
