@@ -68,14 +68,20 @@ def build_skewed_batch(seed: int, zipf_a):
         num_graphs=graphs,
         config=config,
     )
-    pairs = build_pair_plans(
-        [np.asarray(s) for s in batch.edge_sources],
-        [np.asarray(t) for t in batch.edge_targets],
-        [int(c) for c in np.asarray(batch.num_edges)],
-        bench.NODE_BUDGET, overflow_budget=256,
+    # The SHIPPED PPI form since round 5: per-type row-split plans on the
+    # streamed single-sweep kernel.
+    typed = tuple(
+        build_pair_plans(
+            [np.asarray(batch.edge_sources[t])],
+            [np.asarray(batch.edge_targets[t])],
+            [int(np.asarray(batch.num_edges)[t])],
+            bench.NODE_BUDGET, group_fwd=8, group_bwd=8,
+        ).astuple()
+        for t in range(3)
     )
-    chunks = (pairs.fwd.rel_src.shape[0], pairs.bwd.rel_src.shape[0])
-    batch = batch.replace(pair_plans=pairs.astuple())
+    chunks = (sum(np.asarray(p[2]).shape[0] for p in typed),
+              sum(np.asarray(p[6]).shape[0] for p in typed))
+    batch = batch.replace(pair_plans_typed=typed)
     labels = {"node_labels": pad_node_label_array(
         (rng.rand(v, bench.NUM_LABELS) > 0.9).astype(np.float32),
         bench.NODE_BUDGET)}
