@@ -69,8 +69,11 @@ def main():
         return jnp.pad(out, ((0, rows - v), (0, 0)))
 
     def spmm_grad(t):
-        f = lambda x: jnp.vdot(ps.pair_typed_gather_scatter(
-            x, sf, sb, so, *plans.kernel_arrays, v), cot_w)
+        # QUADRATIC loss: a linear vdot lets XLA DCE the forward kernel out
+        # of the custom-VJP chain (the op is linear in its tables), so the
+        # "fwd+bwd" row would time the backward alone (r2c finding).
+        f = lambda x: jnp.sum(jnp.square(ps.pair_typed_gather_scatter(
+            x, sf, sb, so, *plans.kernel_arrays, v)))
         return jax.grad(f)(t)
 
     emit("pair_spmm fwd", spmm_fwd,
